@@ -1,0 +1,300 @@
+"""Ahead-of-time FEM assembly on structured simplicial grids -> stencil planes.
+
+Replaces the reference's dolfinx/PETSc assembly pipeline
+(Multigrid_prototype.py:88-110: `assemble_matrix(a, bcs)`, CSR export,
+`assemble_vector` + `apply_lifting` + `set_bc`) with direct numpy assembly
+into *stencil-plane* form: the operator at grid node p is
+
+    (A u)[p] = sum_k  planes[k][p] * u[p + offsets[k]]
+
+i.e. a variable-coefficient compact stencil.  On a structured simplicial
+grid every P1 operator (stiffness, mass, Galerkin-coarsened stiffness) fits
+this form with |offsets| <= 9 (2D) / <= 15 (3D Kuhn) — which is exactly the
+padded-ELL layout a TPU wants: K dense coefficient planes, unit-stride
+access, no indices, no gather.
+
+All of this runs once at setup time (the analogue of the reference's
+hierarchy-construction loop, Multigrid_prototype.py:62-118) and the planes
+are then shipped to the device.
+"""
+from __future__ import annotations
+
+import dataclasses
+import itertools
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..config import ProblemSpec
+from ..mesh import GridLevel
+from . import elements
+
+
+Offset = Tuple[int, ...]
+
+
+# ----------------------------------------------------------------------
+# Cell -> simplex decompositions
+# ----------------------------------------------------------------------
+
+def simplex_vertex_offsets(ndim: int, diagonal: str = "right") -> List[List[Offset]]:
+    """Vertex offsets (integer corner coordinates of the unit cell) of each
+    simplex in the decomposition of one grid cell.
+
+    2D: two triangles per square.  `diagonal='right'` splits along the
+    (0,0)-(1,1) diagonal (the convention dolfinx's UnitSquareMesh uses for
+    its default 'right' diagonal, cf. reference Multigrid_prototype.py:65-66);
+    'left' splits along (1,0)-(0,1).
+
+    3D: Kuhn/Freudenthal decomposition into 6 tetrahedra all sharing the
+    main diagonal (0,..,0)-(1,..,1).
+    """
+    if ndim == 2:
+        if diagonal == "right":
+            return [
+                [(0, 0), (1, 0), (1, 1)],
+                [(0, 0), (1, 1), (0, 1)],
+            ]
+        elif diagonal == "left":
+            return [
+                [(0, 0), (1, 0), (0, 1)],
+                [(1, 0), (1, 1), (0, 1)],
+            ]
+        raise ValueError(f"bad diagonal {diagonal!r}")
+    if ndim == 3:
+        simplices = []
+        for perm in itertools.permutations(range(3)):
+            v = [(0, 0, 0)]
+            cur = [0, 0, 0]
+            for axis in perm:
+                cur = list(cur)
+                cur[axis] = 1
+                v.append(tuple(cur))
+            simplices.append(v)
+        return simplices
+    raise ValueError(f"ndim must be 2 or 3, got {ndim}")
+
+
+def _element_matrices(ndim: int, h: float, voffs: List[Offset]):
+    """(stiffness, mass, volume, unit-kappa) element matrices for one simplex
+    of the scaled cell."""
+    pts = [tuple(c * h for c in v) for v in voffs]
+    if ndim == 2:
+        K = elements.p1_triangle_stiffness(*pts)
+        M = elements.p1_triangle_mass(*pts)
+        vol = elements.triangle_area(*pts)
+    else:
+        K = elements.p1_tet_stiffness(*pts)
+        M = elements.p1_tet_mass(*pts)
+        vol = elements.tet_volume(*pts)
+    return K, M, vol
+
+
+# ----------------------------------------------------------------------
+# Stencil-plane accumulation
+# ----------------------------------------------------------------------
+
+class PlaneAccumulator:
+    """Accumulates element-matrix entries into {offset: plane} numpy arrays."""
+
+    def __init__(self, shape: Tuple[int, ...]):
+        self.shape = shape
+        self.planes: Dict[Offset, np.ndarray] = {}
+
+    def _plane(self, off: Offset) -> np.ndarray:
+        if off not in self.planes:
+            self.planes[off] = np.zeros(self.shape, dtype=np.float64)
+        return self.planes[off]
+
+    def add(self, row_voff: Offset, col_voff: Offset, value, n: int):
+        """Add `value` (scalar or (n,..,n) per-cell array) to the stencil
+        entry (node = cell + row_voff) -> (node + (col_voff - row_voff)),
+        for every cell of the n^d cell grid."""
+        off = tuple(c - r for r, c in zip(row_voff, col_voff))
+        slab = tuple(slice(r, r + n) for r in row_voff)
+        self._plane(off)[slab] += value
+
+    def finalize(self) -> Tuple[Tuple[Offset, ...], np.ndarray]:
+        """Sorted (offsets, planes-array) with all-zero planes dropped and the
+        center offset guaranteed present."""
+        zero = (0,) * len(self.shape)
+        self._plane(zero)
+        offs = sorted(self.planes.keys())
+        offs = [o for o in offs if o == zero or np.any(self.planes[o] != 0.0)]
+        planes = np.stack([self.planes[o] for o in offs], axis=0)
+        return tuple(offs), planes
+
+
+def stencil_apply_np(offsets: Sequence[Offset], planes: np.ndarray,
+                     u: np.ndarray) -> np.ndarray:
+    """Numpy reference implementation of the stencil matvec (used at setup
+    time and as the oracle for the JAX/Pallas kernels)."""
+    ndim = u.ndim
+    r = max(max(abs(c) for c in off) for off in offsets)
+    up = np.pad(u, r)
+    out = np.zeros_like(u)
+    for k, off in enumerate(offsets):
+        sl = tuple(slice(r + o, r + o + s) for o, s in zip(off, u.shape))
+        out += planes[k] * up[sl]
+    return out
+
+
+def stencil_to_csr(offsets: Sequence[Offset], planes: np.ndarray):
+    """Stencil planes -> scipy CSR (setup/oracle/coarse-solve use only)."""
+    import scipy.sparse as sp
+
+    shape = planes.shape[1:]
+    size = int(np.prod(shape))
+    flat_index = np.arange(size).reshape(shape)
+    rows, cols, vals = [], [], []
+    for k, off in enumerate(offsets):
+        src = tuple(
+            slice(max(0, -o), min(s, s - o)) for o, s in zip(off, shape)
+        )
+        dst = tuple(
+            slice(max(0, o), min(s, s + o)) for o, s in zip(off, shape)
+        )
+        v = planes[k][src]
+        nz = v != 0.0
+        rows.append(flat_index[src][nz])
+        cols.append(flat_index[dst][nz])
+        vals.append(v[nz])
+    rows = np.concatenate(rows)
+    cols = np.concatenate(cols)
+    vals = np.concatenate(vals)
+    return sp.csr_matrix((vals, (rows, cols)), shape=(size, size))
+
+
+# ----------------------------------------------------------------------
+# Level assembly
+# ----------------------------------------------------------------------
+
+@dataclasses.dataclass
+class AssembledLevel:
+    """Everything the solver needs for one grid level, as numpy arrays.
+
+    The analogue of one iteration of the reference's hierarchy loop
+    (Multigrid_prototype.py:62-118): A (BC-eliminated), raw A, full mass M,
+    lifted RHS b, Dirichlet values g, and masks — but in stencil-plane grid
+    form instead of PETSc CSR + coordinate dicts.
+    """
+
+    grid: GridLevel
+    offsets: Tuple[Offset, ...]
+    A_planes: np.ndarray          # BC-eliminated stiffness (symmetric)
+    A_raw_planes: np.ndarray      # pre-elimination stiffness (for lifting/RAP)
+    M_offsets: Tuple[Offset, ...]
+    M_planes: np.ndarray          # full (no-BC) consistent mass matrix
+    b: np.ndarray                 # RHS grid: assembled + lifting + set_bc
+    g: np.ndarray                 # Dirichlet values at bc nodes, 0 elsewhere
+    interior: np.ndarray          # bool mask
+    diag: np.ndarray              # diagonal of eliminated A
+
+    @property
+    def shape(self) -> Tuple[int, ...]:
+        return self.grid.shape
+
+
+def assemble_level(grid: GridLevel, problem: ProblemSpec) -> AssembledLevel:
+    """Assemble stiffness/mass/load for one level with Dirichlet handling
+    matching dolfinx semantics exactly:
+
+      * `assemble_matrix(a, bcs=[bc])`: symmetric elimination — bc rows AND
+        columns zeroed, bc diagonal set to 1 (Multigrid_prototype.py:92).
+      * `apply_lifting`: b <- b - A_raw * g  (g = uD at bc nodes, 0 inside)
+        (Multigrid_prototype.py:105).
+      * `set_bc`: b <- uD at bc nodes (Multigrid_prototype.py:108).
+    """
+    ndim, n, h = grid.ndim, grid.n, grid.h
+    shape = grid.shape
+    simplices = simplex_vertex_offsets(ndim, problem.diagonal)
+
+    # Per-cell variable coefficient (evaluated at simplex centroids).
+    kappa_fn = problem.kappa
+
+    accA = PlaneAccumulator(shape)
+    accM = PlaneAccumulator(shape)
+    b = np.zeros(shape, dtype=np.float64)
+
+    rhs_fn = problem.resolved_rhs()
+    qbary, qw = (
+        elements.triangle_quadrature() if ndim == 2 else elements.tet_quadrature()
+    )
+
+    cell_axes = [np.arange(n, dtype=np.float64) * h for _ in range(ndim)]
+    cell_origin = np.meshgrid(*cell_axes, indexing="ij")   # each (n,..,n)
+
+    for voffs in simplices:
+        K, M, vol = _element_matrices(ndim, h, voffs)
+        verts_phys = np.asarray([[c * h for c in v] for v in voffs])  # (d+1, d)
+
+        if kappa_fn is not None:
+            centroid = verts_phys.mean(axis=0)
+            kcell = kappa_fn(*[co + cc for co, cc in zip(cell_origin, centroid)])
+        else:
+            kcell = 1.0
+
+        nv = ndim + 1
+        for a in range(nv):
+            for bb in range(nv):
+                accA.add(voffs[a], voffs[bb], K[a, bb] * kcell, n)
+                accM.add(voffs[a], voffs[bb], M[a, bb], n)
+
+        # Load vector via quadrature (exact for the reference's constant f,
+        # general enough for arbitrary smooth f).
+        for q in range(len(qw)):
+            xq_local = qbary[q] @ verts_phys                 # (d,)
+            xq = [co + xo for co, xo in zip(cell_origin, xq_local)]
+            fq = rhs_fn(*xq)                                  # (n,..,n)
+            for a in range(nv):
+                slab = tuple(slice(r, r + n) for r in voffs[a])
+                b[slab] += vol * qw[q] * qbary[q, a] * fq
+
+    A_offsets, A_raw_planes = accA.finalize()
+    M_offsets, M_planes = accM.finalize()
+
+    interior = grid.interior_mask()
+    boundary = ~interior
+
+    # Dirichlet values from the manufactured solution
+    # (reference Multigrid_prototype.py:77-78).
+    exact_fn = problem.resolved_exact()
+    coords = grid.coords()
+    g = np.where(boundary, exact_fn(*coords), 0.0)
+
+    # apply_lifting + set_bc.
+    b = b - stencil_apply_np(A_offsets, A_raw_planes, g)
+    b = np.where(boundary, g, b)
+
+    # Symmetric elimination of bc rows/columns; identity on bc diagonal.
+    A_planes = A_raw_planes.copy()
+    rmax = max(max(abs(c) for c in off) for off in A_offsets)
+    interior_pad = np.pad(interior, rmax, constant_values=False)
+    for k, off in enumerate(A_offsets):
+        A_planes[k] *= interior                       # zero bc rows
+        sl = tuple(slice(rmax + o, rmax + o + s) for o, s in zip(off, shape))
+        A_planes[k] *= interior_pad[sl]               # zero bc columns
+    zero_off = (0,) * ndim
+    center = A_offsets.index(zero_off)
+    A_planes[center] = np.where(boundary, 1.0, A_planes[center])
+
+    return AssembledLevel(
+        grid=grid,
+        offsets=A_offsets,
+        A_planes=A_planes,
+        A_raw_planes=A_raw_planes,
+        M_offsets=M_offsets,
+        M_planes=M_planes,
+        b=b,
+        g=g,
+        interior=interior,
+        diag=A_planes[center].copy(),
+    )
+
+
+def assemble_hierarchy(grids: Sequence[GridLevel],
+                       problem: ProblemSpec) -> List[AssembledLevel]:
+    """Assemble every level (the reference re-discretizes each level rather
+    than Galerkin-coarsening — Multigrid_prototype.py:62; Galerkin RAP is the
+    alternative path in fem.galerkin)."""
+    return [assemble_level(g, problem) for g in grids]

@@ -1,0 +1,93 @@
+"""Problem families: Poisson and variable-coefficient diffusion setups.
+
+The reference hardwires exactly one problem — 2D Poisson, -Laplace(u) = -6
+on the unit square with Dirichlet data from u* = 1 + x^2 + 2y^2
+(Multigrid_prototype.py:78,90-91).  These constructors make that problem
+(and its 3D / variable-coefficient generalizations) first-class configs.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import numpy as np
+
+from ..config import (
+    CycleSpec,
+    HierarchySpec,
+    ProblemSpec,
+    ShardingSpec,
+    SolverConfig,
+)
+
+
+def poisson2d(
+    finest_level: int = 3,
+    coarsest_level: int = 1,
+    coarsest_elements: int = 8,
+    dtype: str = "float64",
+    cycle: Optional[CycleSpec] = None,
+    diagonal: str = "right",
+) -> SolverConfig:
+    """The reference problem (Multigrid_prototype.py:35-46 defaults):
+    u* = 1 + x^2 + 2y^2, f = -6."""
+    return SolverConfig(
+        problem=ProblemSpec(ndim=2, rhs_const=-6.0, diagonal=diagonal),
+        hierarchy=HierarchySpec(
+            coarsest_elements=coarsest_elements,
+            coarsest_level=coarsest_level,
+            finest_level=finest_level,
+        ),
+        cycle=cycle if cycle is not None else CycleSpec(),
+        dtype=dtype,
+    )
+
+
+def poisson3d(
+    finest_level: int = 2,
+    coarsest_level: int = 0,
+    coarsest_elements: int = 8,
+    dtype: str = "float32",
+    cycle: Optional[CycleSpec] = None,
+) -> SolverConfig:
+    """3D Poisson on the unit cube: u* = 1 + x^2 + 2y^2 + 3z^2, f = -12
+    (BASELINE.json config 3)."""
+    return SolverConfig(
+        problem=ProblemSpec(ndim=3, rhs_const=-12.0),
+        hierarchy=HierarchySpec(
+            coarsest_elements=coarsest_elements,
+            coarsest_level=coarsest_level,
+            finest_level=finest_level,
+        ),
+        cycle=cycle if cycle is not None else CycleSpec(nu1=2, nu2=2),
+        dtype=dtype,
+    )
+
+
+def variable_coefficient_2d(
+    kappa: Callable,
+    finest_level: int = 3,
+    coarsest_level: int = 1,
+    coarsest_elements: int = 8,
+    dtype: str = "float64",
+    cycle: Optional[CycleSpec] = None,
+    exact: Optional[Callable] = None,
+    rhs: Optional[Callable] = None,
+) -> SolverConfig:
+    """-div(kappa grad u) = f with piecewise-constant-per-cell kappa
+    (BASELINE.json config 4); defaults to Galerkin (RAP) coarse operators,
+    which is the correct variational choice for non-constant coefficients."""
+    return SolverConfig(
+        problem=ProblemSpec(
+            ndim=2, kappa=kappa, exact=exact, rhs=rhs,
+            rhs_const=None if rhs is not None else -6.0,
+        ),
+        hierarchy=HierarchySpec(
+            coarsest_elements=coarsest_elements,
+            coarsest_level=coarsest_level,
+            finest_level=finest_level,
+            coarse_operator="galerkin",
+        ),
+        cycle=cycle if cycle is not None else CycleSpec(nu1=2, nu2=2),
+        dtype=dtype,
+    )

@@ -1,0 +1,175 @@
+"""Smoothers: weighted Jacobi (reference-exact), multicolor Gauss-Seidel,
+and Chebyshev polynomial smoothing.
+
+The reference has exactly one smoother — weighted Jacobi with omega=2/3,
+implemented as `sol = (1-w)v + w*Dinv.dot(f) - w*R_omega.dot(v)` repeated nw
+times (multigrid.py:223-228, splitting built at :48-56).  `jacobi_smooth`
+reproduces that update *in the same algebraic association* so fixed points
+and rounding behavior match; the reference's per-sweep recomputation of
+Dinv*f (an avoidable SpMV, SURVEY.md §3.4) is hoisted out of the loop.
+
+Red-black / multicolor Gauss-Seidel and Chebyshev are the TPU-friendly
+additions (BASELINE.json configs 2-3): color updates are mask-parallel and
+race-free by construction, Chebyshev needs only matvecs.
+"""
+from __future__ import annotations
+
+import dataclasses
+import itertools
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .operators import StencilOperator
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["r_omega", "dinv", "lmax"],
+    meta_fields=["omega", "cheby_degree", "cheby_eig_ratio"],
+)
+@dataclasses.dataclass(frozen=True)
+class SmootherData:
+    """Per-level precomputed smoother state (device pytree).
+
+    r_omega: Dinv*(A - D) as a stencil op — the reference's R_omega matrix
+             (multigrid.py:55).
+    dinv:    1/diag(A) grid — the reference's diag_A_inv (multigrid.py:54).
+    lmax:    estimate of the largest eigenvalue of Dinv*A (Chebyshev).
+    """
+
+    r_omega: StencilOperator
+    dinv: jax.Array
+    lmax: jax.Array
+    omega: float
+    cheby_degree: int
+    cheby_eig_ratio: float
+
+
+def color_mask(shape: Tuple[int, ...], parity: Tuple[int, ...]) -> jnp.ndarray:
+    """Coordinate-parity mask, computed on the fly from iota (no stored mask
+    arrays — free at any grid size).  The 2^d parity classes are independent
+    sets for any stencil of radius 1, so masked simultaneous updates are
+    exact Gauss-Seidel and race-free by construction (SURVEY.md §5)."""
+    m = None
+    for axis, p in enumerate(parity):
+        g = (jax.lax.broadcasted_iota(jnp.int32, shape, axis) % 2) == p
+        m = g if m is None else m & g
+    return m
+
+
+def jacobi_smooth(
+    sm: SmootherData,
+    v: jax.Array,
+    f: jax.Array,
+    nsweeps: int,
+    unroll: bool = False,
+) -> jax.Array:
+    """nw sweeps of  v <- (1-w) v + w (Dinv f) - w (R_omega v).
+
+    Bitwise-faithful to reference jacobiRelaxation (multigrid.py:223-228)
+    modulo summation order inside the matvec; Dinv*f hoisted (the reference
+    recomputes it every sweep with identical value — multigrid.py:226).
+    """
+    w = sm.omega
+    df = sm.dinv * f
+
+    def sweep(_, v):
+        return (1.0 - w) * v + w * df - w * sm.r_omega.apply(v)
+
+    if unroll or nsweeps <= 2:
+        for k in range(nsweeps):
+            v = sweep(k, v)
+        return v
+    return jax.lax.fori_loop(0, nsweeps, sweep, v)
+
+
+def multicolor_gs_smooth(
+    sm: SmootherData,
+    A: StencilOperator,
+    v: jax.Array,
+    f: jax.Array,
+    nsweeps: int,
+) -> jax.Array:
+    """Multicolor (red-black in its 2-class specialization) Gauss-Seidel:
+    for each color c in turn, v[c] <- v[c] + dinv*(f - A v)[c].
+
+    Each color update touches an independent set, so the masked vectorized
+    update is exact lexicographic-within-color GS and fully parallel."""
+    d = v.ndim
+    parities = list(itertools.product((0, 1), repeat=d))
+
+    def sweep(_, v):
+        for parity in parities:
+            mask = color_mask(v.shape, parity)
+            r = f - A.apply(v)
+            v = jnp.where(mask, v + sm.dinv * r, v)
+        return v
+
+    if nsweeps <= 2:
+        for k in range(nsweeps):
+            v = sweep(k, v)
+        return v
+    return jax.lax.fori_loop(0, nsweeps, sweep, v)
+
+
+def chebyshev_smooth(
+    sm: SmootherData,
+    A: StencilOperator,
+    v: jax.Array,
+    f: jax.Array,
+    nrounds: int,
+) -> jax.Array:
+    """Chebyshev polynomial smoothing on the Dinv-preconditioned operator,
+    targeting [lmax/eig_ratio, lmax] (the standard parallel-MG smoother:
+    matvec-only, no sequential dependencies — cf. BASELINE.json config 3).
+
+    One 'round' = one degree-`sm.cheby_degree` Chebyshev polynomial
+    application (so a round costs `degree` matvecs)."""
+    lmax = sm.lmax * 1.05           # safety margin on the power-iter estimate
+    lmin = lmax / sm.cheby_eig_ratio
+    theta = 0.5 * (lmax + lmin)
+    delta = 0.5 * (lmax - lmin)
+    sigma = theta / delta
+
+    def one_round(_, v):
+        r = f - A.apply(v)
+        z = sm.dinv * r
+        p = z / theta
+        v = v + p
+        rho_prev = 1.0 / sigma
+        for _k in range(1, sm.cheby_degree):
+            r = f - A.apply(v)
+            z = sm.dinv * r
+            rho = 1.0 / (2.0 * sigma - rho_prev)
+            p = rho * rho_prev * p + (2.0 * rho / delta) * z
+            v = v + p
+            rho_prev = rho
+        return v
+
+    if nrounds <= 2:
+        for k in range(nrounds):
+            v = one_round(k, v)
+        return v
+    return jax.lax.fori_loop(0, nrounds, one_round, v)
+
+
+def smooth(
+    sm: SmootherData,
+    A: StencilOperator,
+    v: jax.Array,
+    f: jax.Array,
+    nsweeps: int,
+    kind: str,
+) -> jax.Array:
+    if nsweeps <= 0:
+        return v
+    if kind == "jacobi":
+        return jacobi_smooth(sm, v, f, nsweeps)
+    if kind == "rbgs":
+        return multicolor_gs_smooth(sm, A, v, f, nsweeps)
+    if kind == "chebyshev":
+        return chebyshev_smooth(sm, A, v, f, nsweeps)
+    raise ValueError(f"unknown smoother {kind!r}")

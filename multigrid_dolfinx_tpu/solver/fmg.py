@@ -1,0 +1,209 @@
+"""Full Multigrid (FMG) drivers and the tolerance-driven solve loop.
+
+Reproduces both reference entry points:
+
+  * `FullMultiGrid` (multigrid.py:271-307): recursive FMG using each level's
+    *assembled* RHS (b_dict, not a restricted residual), mu0 V-cycles at
+    intermediate levels, and at the finest level V-cycles until the
+    mass-weighted residual norm drops below tol — here as a single
+    `lax.while_loop` on device with fixed-size history buffers, a
+    max-iteration guard, and NaN/divergence detection (the reference's loop
+    is unbounded `while True`, SURVEY.md §5 'failure detection').
+  * `FullMultiGrid_test` (multigrid.py:312-339): fixed mu0 V-cycles at every
+    level including the finest, optionally exposing the finest V-cycle's
+    internals (test=True plumb-through).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import lru_cache, partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import CycleSpec
+from ..ops import transfer
+from ..ops.operators import StencilOperator, mass_norm, quadratic_form
+from .hierarchy import Hierarchy
+from .vcycle import vcycle
+
+
+class SolveResult(NamedTuple):
+    """Solution + convergence telemetry (device arrays).
+
+    res_hist / err_hist are fixed-size (max_cycles) buffers padded with NaN
+    beyond num_cycles — the device-resident version of the reference's
+    residual_per_V_cycle_finest / error_per_V_cycle_finest lists
+    (multigrid.py:292-295)."""
+
+    u: jax.Array
+    res_hist: jax.Array
+    err_hist: jax.Array
+    num_cycles: jax.Array
+    converged: jax.Array
+    diverged: jax.Array
+
+
+def residual_norm(hier: Hierarchy, r: jax.Array) -> jax.Array:
+    """FEM-L2 (mass-weighted) residual norm — reference res_calculator
+    (multigrid.py:203-208)."""
+    return mass_norm(hier.M_fine, r)
+
+
+def error_norm(hier: Hierarchy, u: jax.Array) -> jax.Array:
+    """FEM-L2 error vs the manufactured (quadratic, hence 'CG2-exact')
+    solution — reference err_calculator (multigrid.py:213-218).
+
+    Evaluated per quadrature point:  sum_s vol_s sum_q w_q
+    (u_h(x_q) - u*(x_q))^2 — exact-arithmetic-identical to dolfinx's
+    assemble_scalar but without the catastrophic cancellation of the
+    expanded u^T M u - 2 c^T u + d form."""
+    eq = hier.err_quad
+    n = u.shape[0] - 1
+    acc = None
+    for s, voffs in enumerate(eq.voffs):
+        for q, vw in enumerate(eq.vw[s]):
+            interp = None
+            for a, voff in enumerate(voffs):
+                slab = tuple(slice(v, v + n) for v in voff)
+                term = eq.lambdas[s][q][a] * u[slab]
+                interp = term if interp is None else interp + term
+            e = interp - eq.ustar[s, q]
+            contrib = vw * jnp.sum(e * e)
+            acc = contrib if acc is None else acc + contrib
+    return jnp.sqrt(jnp.maximum(acc, 0.0))
+
+
+def _tolerance_loop(
+    hier: Hierarchy, spec: CycleSpec, v0: jax.Array, f: jax.Array
+) -> SolveResult:
+    """V-cycle until residual <= tol, with history recording — the
+    reference's finest-level while-True (multigrid.py:286-296) made
+    device-resident, bounded, and divergence-guarded."""
+    L = hier.num_levels - 1
+    A_fine = hier.finest.A
+    dtype = v0.dtype
+    max_c = spec.max_cycles
+    nan = jnp.array(jnp.nan, dtype=dtype)
+
+    def body(carry):
+        v, k, _, _, res_h, err_h = carry
+        v = vcycle(hier, spec, L, v, f)
+        r = f - A_fine.apply(v)
+        rn = residual_norm(hier, r)
+        en = error_norm(hier, v)
+        res_h = res_h.at[k].set(rn)
+        err_h = err_h.at[k].set(en)
+        converged = rn <= spec.tol
+        diverged = ~jnp.isfinite(rn)
+        return (v, k + 1, converged, diverged, res_h, err_h)
+
+    def cond(carry):
+        _, k, converged, diverged, _, _ = carry
+        return (~converged) & (~diverged) & (k < max_c)
+
+    res_h0 = jnp.full((max_c,), nan, dtype=dtype)
+    err_h0 = jnp.full((max_c,), nan, dtype=dtype)
+    init = (v0, jnp.array(0, jnp.int32), jnp.array(False), jnp.array(False),
+            res_h0, err_h0)
+    v, k, converged, diverged, res_h, err_h = jax.lax.while_loop(
+        cond, body, init
+    )
+    return SolveResult(
+        u=v,
+        res_hist=res_h,
+        err_hist=err_h,
+        num_cycles=k,
+        converged=converged,
+        diverged=diverged,
+    )
+
+
+def fmg_solve(
+    hier: Hierarchy,
+    spec: CycleSpec,
+    mode: str = "tol",
+    collect_debug: bool = False,
+):
+    """Full Multigrid from the coarsest level up.
+
+    mode='tol'   == reference FullMultiGrid (multigrid.py:271-307).
+    mode='fixed' == reference FullMultiGrid_test (multigrid.py:312-339):
+                    mu0 cycles at every level including the finest.
+    collect_debug (fixed mode) additionally returns the finest V-cycle's
+    (restricted residual, coarse error, interpolated correction), matching
+    the reference's test=True return (multigrid.py:262-266).
+    """
+    if mode not in ("tol", "fixed"):
+        raise ValueError(f"mode must be 'tol' or 'fixed', got {mode!r}")
+    nlev = hier.num_levels
+    v = hier.coarse.solve(hier.levels[0].b)
+    debug = None
+
+    if nlev == 1:
+        zero_hist = jnp.full((spec.max_cycles,), jnp.nan, dtype=v.dtype)
+        res = SolveResult(
+            u=v,
+            res_hist=zero_hist,
+            err_hist=zero_hist,
+            num_cycles=jnp.array(0, jnp.int32),
+            converged=jnp.array(True),
+            diverged=jnp.array(False),
+        )
+        return (res, debug) if collect_debug else res
+
+    for li in range(1, nlev):
+        v = transfer.prolong(v, spec.prolongation, hier.levels[li].diagonal)
+        f = hier.levels[li].b
+        is_finest = li == nlev - 1
+        if not is_finest or mode == "fixed":
+            for c in range(spec.mu0):
+                want_debug = collect_debug and is_finest and c == spec.mu0 - 1
+                out = vcycle(hier, spec, li, v, f, collect_debug=want_debug)
+                if want_debug:
+                    v, debug = out
+                else:
+                    v = out
+        else:
+            result = _tolerance_loop(hier, spec, v, f)
+            return (result, debug) if collect_debug else result
+
+    # fixed mode: compute final norms once for telemetry.
+    A_fine = hier.finest.A
+    f = hier.finest.b
+    r = f - A_fine.apply(v)
+    rn = residual_norm(hier, r)
+    en = error_norm(hier, v)
+    dtype = v.dtype
+    res_h = jnp.full((spec.max_cycles,), jnp.nan, dtype=dtype).at[0].set(rn)
+    err_h = jnp.full((spec.max_cycles,), jnp.nan, dtype=dtype).at[0].set(en)
+    result = SolveResult(
+        u=v,
+        res_hist=res_h,
+        err_hist=err_h,
+        num_cycles=jnp.array(spec.mu0, jnp.int32),
+        converged=rn <= spec.tol,
+        diverged=~jnp.isfinite(rn),
+    )
+    return (result, debug) if collect_debug else result
+
+
+@lru_cache(maxsize=128)
+def _jitted_solver(spec: CycleSpec, mode: str):
+    # CycleSpec is a frozen (hashable) dataclass, so the jitted program is
+    # cached per (spec, mode); without this, wrapping a fresh closure in
+    # jax.jit on every call would silently recompile each solve.
+    return jax.jit(partial(fmg_solve, spec=spec, mode=mode))
+
+
+def solve(
+    hier: Hierarchy,
+    spec: CycleSpec,
+    mode: str = "tol",
+    jit: bool = True,
+) -> SolveResult:
+    """Jit-compiled FMG solve over a prebuilt hierarchy."""
+    if jit:
+        return _jitted_solver(spec, mode)(hier)
+    return fmg_solve(hier, spec, mode=mode)

@@ -1,0 +1,198 @@
+"""Hierarchy construction: AOT assembly -> immutable device pytree.
+
+The reference passes solver state through *module-level globals* installed
+by initialize_problem (multigrid.py:10-45) from a Var_initializer bag
+(Multigrid_prototype.py:15-32).  The TPU-native replacement is an immutable
+`Hierarchy` pytree: per-level operators, smoother precomputations, RHS
+grids, the factorized coarse solver, and the finest-level norm machinery —
+all arrays device-resident, all shapes static, so the whole solve jits as
+one program.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SolverConfig
+from ..mesh import GridLevel, build_grid_hierarchy
+from ..fem import assembly as fem_assembly
+from ..fem.assembly import AssembledLevel, stencil_apply_np
+from ..fem.norms import error_quadrature
+from ..ops.coarse import CoarseSolver, build_coarse_solver
+from ..ops.operators import StencilOperator
+from ..ops.smoothers import SmootherData
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["A", "sm", "b", "g"],
+    meta_fields=["n", "level", "diagonal"],
+)
+@dataclasses.dataclass(frozen=True)
+class Level:
+    """One device-resident grid level.
+
+    A:  BC-eliminated stiffness (stencil planes).
+    sm: smoother precomputations (R_omega, Dinv, lmax).
+    b:  assembled + lifted RHS grid (reference b_dict[level],
+        Multigrid_prototype.py:100-110).
+    g:  Dirichlet boundary values (0 at interior nodes).
+    """
+
+    A: StencilOperator
+    sm: SmootherData
+    b: jax.Array
+    g: jax.Array
+    n: int
+    level: int
+    diagonal: str = "right"
+
+    @property
+    def shape(self) -> Tuple[int, ...]:
+        return self.A.shape
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["ustar"],
+    meta_fields=["voffs", "lambdas", "vw"],
+)
+@dataclasses.dataclass(frozen=True)
+class ErrorQuad:
+    """Device-resident error-norm quadrature data (see
+    fem.norms.ErrorQuadrature): ustar holds u*(x_q) per (simplex, quad
+    point, cell); voffs/lambdas/vw are static tuples."""
+
+    ustar: jax.Array
+    voffs: tuple
+    lambdas: tuple
+    vw: tuple
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["levels", "coarse", "M_fine", "err_quad"],
+    meta_fields=[],
+)
+@dataclasses.dataclass(frozen=True)
+class Hierarchy:
+    """Full multigrid hierarchy, coarsest (index 0) to finest (index -1).
+
+    M_fine / err_quad power the finest-level FEM-L2 residual and error
+    norms (replacing reference res_calculator / err_calculator,
+    multigrid.py:203-218)."""
+
+    levels: Tuple[Level, ...]
+    coarse: CoarseSolver
+    M_fine: StencilOperator
+    err_quad: ErrorQuad
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.levels)
+
+    @property
+    def finest(self) -> Level:
+        return self.levels[-1]
+
+
+def estimate_lmax_dinv_a(
+    offsets, planes: np.ndarray, diag: np.ndarray, iters: int = 40, seed: int = 0
+) -> float:
+    """Power iteration for lambda_max(Dinv A), numpy, setup path (feeds the
+    Chebyshev smoother's spectral bounds)."""
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal(diag.shape)
+    x /= np.linalg.norm(x)
+    lam = 2.0
+    dinv = 1.0 / diag
+    for _ in range(iters):
+        y = dinv * stencil_apply_np(offsets, planes, x)
+        nrm = np.linalg.norm(y)
+        if nrm == 0.0:
+            return 2.0
+        lam = nrm
+        x = y / nrm
+    return float(lam)
+
+
+def _level_from_assembled(
+    asm: AssembledLevel, config: SolverConfig, dtype
+) -> Level:
+    A = StencilOperator.from_numpy(asm.offsets, asm.A_planes, dtype=dtype)
+    diag = asm.diag
+    dinv_np = 1.0 / diag
+    center = asm.offsets.index((0,) * asm.grid.ndim)
+    # R_omega = Dinv (A - D): scale rows by Dinv, zero the center plane —
+    # mirrors getJacobiMatrices (multigrid.py:48-56) but in stencil form.
+    r_planes = asm.A_planes * dinv_np[None]
+    r_planes[center] = 0.0
+    r_omega = StencilOperator.from_numpy(asm.offsets, r_planes, dtype=dtype)
+
+    if config.cycle.smoother == "chebyshev":
+        lmax = estimate_lmax_dinv_a(asm.offsets, asm.A_planes, diag)
+    else:
+        lmax = 2.0
+
+    sm = SmootherData(
+        r_omega=r_omega,
+        dinv=jnp.asarray(dinv_np, dtype=dtype),
+        lmax=jnp.asarray(lmax, dtype=dtype),
+        omega=config.cycle.omega,
+        cheby_degree=config.cycle.cheby_degree,
+        cheby_eig_ratio=4.0,
+    )
+    return Level(
+        A=A,
+        sm=sm,
+        b=jnp.asarray(asm.b, dtype=dtype),
+        g=jnp.asarray(asm.g, dtype=dtype),
+        n=asm.grid.n,
+        level=asm.grid.level,
+        diagonal=config.problem.diagonal,
+    )
+
+
+def build_hierarchy(config: SolverConfig) -> Hierarchy:
+    """Assemble every level ahead of time and ship it to the device.
+
+    `hierarchy.coarse_operator='rediscretize'` re-assembles each level like
+    the reference's per-level loop (Multigrid_prototype.py:62); 'galerkin'
+    builds coarse operators variationally as R A P (fem.galerkin)."""
+    dtype = jnp.dtype(config.dtype)
+    grids = build_grid_hierarchy(config.hierarchy, ndim=config.problem.ndim)
+    asms = fem_assembly.assemble_hierarchy(grids, config.problem)
+
+    if config.hierarchy.coarse_operator == "galerkin":
+        from ..fem.galerkin import galerkin_coarsen_hierarchy
+
+        asms = galerkin_coarsen_hierarchy(asms)
+
+    levels = tuple(_level_from_assembled(a, config, dtype) for a in asms)
+    coarse = build_coarse_solver(
+        asms[0].offsets,
+        asms[0].A_planes,
+        kind=config.cycle.coarse_solver,
+        dtype=dtype,
+    )
+    fine_asm = asms[-1]
+    M_fine = StencilOperator.from_numpy(
+        fine_asm.M_offsets, fine_asm.M_planes, dtype=dtype
+    )
+    eq = error_quadrature(grids[-1], config.problem)
+    return Hierarchy(
+        levels=levels,
+        coarse=coarse,
+        M_fine=M_fine,
+        err_quad=ErrorQuad(
+            ustar=jnp.asarray(eq.ustar, dtype=dtype),
+            voffs=eq.voffs,
+            lambdas=eq.lambdas,
+            vw=eq.vw,
+        ),
+    )

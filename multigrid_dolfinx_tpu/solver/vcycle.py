@@ -1,0 +1,74 @@
+"""Multigrid cycles, unrolled over levels into one XLA program.
+
+The reference V-cycle is a Python recursion over scipy matrices with a
+SuperLU direct solve at the bottom (multigrid.py:231-268).  Levels here are
+a static tuple with fixed shapes, so the recursion unrolls at trace time
+into a single jitted program: smoothing loops are `lax.fori_loop`s, the
+coarse solve is a pre-factorized dense solve, and there is no host round
+trip anywhere inside a cycle (SURVEY.md §7 translation 3).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import CycleSpec
+from ..ops import transfer
+from ..ops.smoothers import smooth
+from .hierarchy import Hierarchy
+
+
+def vcycle(
+    hier: Hierarchy,
+    spec: CycleSpec,
+    lidx: int,
+    v: jax.Array,
+    f: jax.Array,
+    collect_debug: bool = False,
+):
+    """One cycle (V, W, or F shape per spec.cycle) at level index `lidx`
+    (0 = coarsest) with initial guess v and right-hand side f.
+
+    Semantics at reference multigrid.py:231-268: coarsest -> direct solve;
+    else pre-smooth nu1, restrict the residual (injection by default, as the
+    reference's active path at :251-252), recurse with zero initial guess,
+    prolong the coarse error and correct, post-smooth nu2.
+
+    With collect_debug=True also returns (restricted residual, coarse error,
+    interpolated correction) — the reference's test=True plumb-through
+    (multigrid.py:262-266).
+    """
+    if lidx == 0:
+        u = hier.coarse.solve(f)
+        return (u, None) if collect_debug else u
+
+    lv = hier.levels[lidx]
+    v = smooth(lv.sm, lv.A, v, f, spec.nu1, spec.smoother)
+    r = f - lv.A.apply(v)
+    fc = transfer.restrict(r, spec.restriction)
+    vc = jnp.zeros_like(fc)
+
+    if spec.cycle == "V" or lidx - 1 == 0:
+        vc = vcycle(hier, spec, lidx - 1, vc, fc)
+    elif spec.cycle == "W":
+        vc = vcycle(hier, spec, lidx - 1, vc, fc)
+        vc = vcycle(hier, spec, lidx - 1, vc, fc)
+    elif spec.cycle == "F":
+        # F-cycle: one F-recursion followed by one V-cycle on the coarse
+        # problem.
+        import dataclasses as _dc
+
+        vc = vcycle(hier, spec, lidx - 1, vc, fc)
+        v_spec = _dc.replace(spec, cycle="V")
+        vc = vcycle(hier, v_spec, lidx - 1, vc, fc)
+    else:
+        raise ValueError(f"unknown cycle {spec.cycle!r}")
+
+    e = transfer.prolong(vc, spec.prolongation, lv.diagonal)
+    v = v + e
+    v = smooth(lv.sm, lv.A, v, f, spec.nu2, spec.smoother)
+    if collect_debug:
+        return v, (fc, vc, e)
+    return v

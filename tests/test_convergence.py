@@ -1,0 +1,116 @@
+"""Multigrid convergence-property tests — the 'implied oracle tests' of
+SURVEY.md §4: two-grid convergence factors, h-independent V-cycle counts,
+smoother/cycle variants, and 3D.
+
+These use practical configs (V(2,2), full weighting) rather than the
+reference's V(50,50)+injection, which is what production runs look like.
+"""
+import numpy as np
+import pytest
+
+from multigrid_dolfinx_tpu import build_hierarchy, models, solve
+from multigrid_dolfinx_tpu.config import CycleSpec
+
+
+def _iter_count(cfg):
+    hier = build_hierarchy(cfg)
+    res = solve(hier, cfg.cycle, mode="tol")
+    assert bool(res.converged), "solver did not converge"
+    return int(res.num_cycles), res
+
+
+def test_vcycle_residual_contraction_factor():
+    """V(2,2) weighted-Jacobi + full weighting must contract the residual by
+    a healthy, h-independent factor each cycle (model-problem theory ~0.3;
+    assert < 0.5 with margin)."""
+    cyc = CycleSpec(nu1=2, nu2=2, restriction="pt",
+                    tol=1e-10, max_cycles=60)
+    cfg = models.poisson2d(finest_level=3, cycle=cyc)
+    _, res = _iter_count(cfg)
+    hist = np.asarray(res.res_hist)
+    k = int(res.num_cycles)
+    ratios = hist[3:k - 1] / hist[2:k - 2]
+    assert np.nanmax(ratios) < 0.5
+
+
+@pytest.mark.parametrize("smoother", ["jacobi", "rbgs", "chebyshev"])
+def test_smoothers_converge(smoother):
+    cyc = CycleSpec(nu1=2, nu2=2, smoother=smoother,
+                    restriction="pt", tol=1e-9, max_cycles=60)
+    cfg = models.poisson2d(finest_level=3, cycle=cyc)
+    k, _ = _iter_count(cfg)
+    assert k < 40
+
+
+def test_rbgs_faster_than_jacobi():
+    """Gauss-Seidel smoothing should beat Jacobi at equal sweep counts."""
+    base = dict(nu1=2, nu2=2, restriction="pt",
+                tol=1e-9, max_cycles=60)
+    kj, _ = _iter_count(models.poisson2d(
+        finest_level=3, cycle=CycleSpec(smoother="jacobi", **base)))
+    kg, _ = _iter_count(models.poisson2d(
+        finest_level=3, cycle=CycleSpec(smoother="rbgs", **base)))
+    assert kg <= kj
+
+
+def test_h_independent_iteration_counts():
+    """The defining property of multigrid: V-cycle counts must not grow
+    with resolution (the reference's iter-count CSV sweep is this exact
+    experiment, multigrid.py:296-302)."""
+    cyc = CycleSpec(nu1=2, nu2=2, restriction="pt",
+                    tol=1e-9, max_cycles=60)
+    counts = []
+    for finest in (2, 3, 4):   # 32, 64, 128 elements per dim
+        cfg = models.poisson2d(finest_level=finest, cycle=cyc)
+        k, _ = _iter_count(cfg)
+        counts.append(k)
+    assert max(counts) - min(counts) <= 2
+    assert counts[-1] <= counts[0] + 2
+
+
+def test_wcycle_at_least_as_good_as_vcycle():
+    base = dict(nu1=2, nu2=2, restriction="pt",
+                tol=1e-9, max_cycles=60)
+    kv, _ = _iter_count(models.poisson2d(
+        finest_level=4, cycle=CycleSpec(cycle="V", **base)))
+    kw, _ = _iter_count(models.poisson2d(
+        finest_level=4, cycle=CycleSpec(cycle="W", **base)))
+    assert kw <= kv
+
+
+def test_six_level_deep_hierarchy():
+    """BASELINE.json config 2: 6-level V(2,2)."""
+    cyc = CycleSpec(nu1=2, nu2=2, restriction="pt",
+                    tol=1e-9, max_cycles=60)
+    cfg = models.poisson2d(finest_level=5, coarsest_level=0,
+                           coarsest_elements=4, cycle=cyc)
+    assert cfg.hierarchy.num_levels == 6
+    k, res = _iter_count(cfg)
+    assert k < 30
+
+
+def test_3d_poisson_converges():
+    """BASELINE.json config 3 (small instance): 3D Poisson P1 on the unit
+    cube, trilinear transfers, Kuhn-tet assembly."""
+    cyc = CycleSpec(nu1=2, nu2=2, restriction="pt",
+                    tol=1e-8, max_cycles=60)
+    cfg = models.poisson3d(finest_level=2, coarsest_level=0,
+                           coarsest_elements=4, dtype="float64", cycle=cyc)
+    k, res = _iter_count(cfg)
+    assert k < 30
+    # solution error should sit at the discretization floor and be small
+    errs = np.asarray(res.err_hist)
+    assert errs[k - 1] < 5e-2
+
+
+def test_divergence_guard():
+    """omega=1.9 makes weighted Jacobi divergent; the solver must stop at
+    max_cycles or flag divergence instead of looping forever (the
+    reference's while-True would hang, SURVEY.md §5)."""
+    cyc = CycleSpec(nu1=2, nu2=2, omega=1.95, restriction="pt",
+                    tol=1e-12, max_cycles=10)
+    cfg = models.poisson2d(finest_level=3, cycle=cyc)
+    hier = build_hierarchy(cfg)
+    res = solve(hier, cfg.cycle, mode="tol")
+    assert not bool(res.converged)
+    assert bool(res.diverged) or int(res.num_cycles) == 10
