@@ -39,7 +39,10 @@ class CoarseSolver:
     grid_shape: Tuple[int, ...]
 
     def solve(self, f_grid: jax.Array) -> jax.Array:
-        f = f_grid.reshape(-1)
+        # The factorization covers the *logical* grid; slice off any
+        # sharding/tile padding and zero-pad the solution back.
+        sl = tuple(slice(0, s) for s in self.grid_shape)
+        f = f_grid[sl].reshape(-1)
         if self.kind == "cholesky":
             u = jax.scipy.linalg.cho_solve((self.factor, True), f)
         elif self.kind == "lu":
@@ -48,7 +51,13 @@ class CoarseSolver:
             u = self.factor @ f
         else:
             raise ValueError(f"unknown coarse solver kind {self.kind!r}")
-        return u.reshape(self.grid_shape)
+        u = u.reshape(self.grid_shape)
+        pads = tuple(
+            (0, t - s) for s, t in zip(self.grid_shape, f_grid.shape)
+        )
+        if any(p != (0, 0) for p in pads):
+            u = jnp.pad(u, pads)
+        return u
 
 
 def build_coarse_solver(

@@ -26,7 +26,7 @@ from ..config import CycleSpec
 from ..ops import transfer
 from ..ops.operators import StencilOperator, mass_norm, quadratic_form
 from .hierarchy import Hierarchy
-from .vcycle import vcycle
+from .vcycle import prolong_level, vcycle
 
 
 class SolveResult(NamedTuple):
@@ -60,16 +60,17 @@ def error_norm(hier: Hierarchy, u: jax.Array) -> jax.Array:
     assemble_scalar but without the catastrophic cancellation of the
     expanded u^T M u - 2 c^T u + d form."""
     eq = hier.err_quad
-    n = u.shape[0] - 1
+    ncells = tuple(s - 1 for s in u.shape)   # per-axis (padding may differ)
     acc = None
     for s, voffs in enumerate(eq.voffs):
         for q, vw in enumerate(eq.vw[s]):
             interp = None
             for a, voff in enumerate(voffs):
-                slab = tuple(slice(v, v + n) for v in voff)
+                slab = tuple(slice(v, v + nc) for v, nc in zip(voff, ncells))
                 term = eq.lambdas[s][q][a] * u[slab]
                 interp = term if interp is None else interp + term
-            e = interp - eq.ustar[s, q]
+            sl = tuple(slice(0, d) for d in interp.shape)
+            e = interp - eq.ustar[s, q][sl]
             contrib = vw * jnp.sum(e * e)
             acc = contrib if acc is None else acc + contrib
     return jnp.sqrt(jnp.maximum(acc, 0.0))
@@ -154,7 +155,7 @@ def fmg_solve(
         return (res, debug) if collect_debug else res
 
     for li in range(1, nlev):
-        v = transfer.prolong(v, spec.prolongation, hier.levels[li].diagonal)
+        v = prolong_level(v, hier.levels[li - 1], hier.levels[li], spec.prolongation)
         f = hier.levels[li].b
         is_finest = li == nlev - 1
         if not is_finest or mode == "fixed":

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import List, Optional, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -121,10 +121,35 @@ def estimate_lmax_dinv_a(
     return float(lam)
 
 
+def _pad_grid(x: np.ndarray, target: Optional[Tuple[int, ...]],
+              value: float = 0.0) -> np.ndarray:
+    """Zero-pad (or value-pad) a grid-shaped array up to `target` points per
+    axis.  Padding discipline (see parallel/sharding.py): padded operator
+    rows are all-zero with unit diagonal, padded vectors are zero, so every
+    solver op keeps the padding region exactly zero and norms/sums are
+    unchanged."""
+    if target is None:
+        return x
+    pads = tuple((0, t - s) for s, t in zip(x.shape, target))
+    if all(p == (0, 0) for p in pads):
+        return x
+    return np.pad(x, pads, constant_values=value)
+
+
+def _pad_planes(planes: np.ndarray, target: Optional[Tuple[int, ...]]) -> np.ndarray:
+    if target is None:
+        return planes
+    pads = ((0, 0),) + tuple((0, t - s) for s, t in zip(planes.shape[1:], target))
+    return np.pad(planes, pads)
+
+
 def _level_from_assembled(
-    asm: AssembledLevel, config: SolverConfig, dtype
+    asm: AssembledLevel, config: SolverConfig, dtype,
+    pad_points: Optional[Tuple[int, ...]] = None,
 ) -> Level:
-    A = StencilOperator.from_numpy(asm.offsets, asm.A_planes, dtype=dtype)
+    A = StencilOperator.from_numpy(
+        asm.offsets, _pad_planes(asm.A_planes, pad_points), dtype=dtype
+    )
     diag = asm.diag
     dinv_np = 1.0 / diag
     center = asm.offsets.index((0,) * asm.grid.ndim)
@@ -132,7 +157,9 @@ def _level_from_assembled(
     # mirrors getJacobiMatrices (multigrid.py:48-56) but in stencil form.
     r_planes = asm.A_planes * dinv_np[None]
     r_planes[center] = 0.0
-    r_omega = StencilOperator.from_numpy(asm.offsets, r_planes, dtype=dtype)
+    r_omega = StencilOperator.from_numpy(
+        asm.offsets, _pad_planes(r_planes, pad_points), dtype=dtype
+    )
 
     if config.cycle.smoother == "chebyshev":
         lmax = estimate_lmax_dinv_a(asm.offsets, asm.A_planes, diag)
@@ -141,7 +168,7 @@ def _level_from_assembled(
 
     sm = SmootherData(
         r_omega=r_omega,
-        dinv=jnp.asarray(dinv_np, dtype=dtype),
+        dinv=jnp.asarray(_pad_grid(dinv_np, pad_points, value=1.0), dtype=dtype),
         lmax=jnp.asarray(lmax, dtype=dtype),
         omega=config.cycle.omega,
         cheby_degree=config.cycle.cheby_degree,
@@ -150,20 +177,28 @@ def _level_from_assembled(
     return Level(
         A=A,
         sm=sm,
-        b=jnp.asarray(asm.b, dtype=dtype),
-        g=jnp.asarray(asm.g, dtype=dtype),
+        b=jnp.asarray(_pad_grid(asm.b, pad_points), dtype=dtype),
+        g=jnp.asarray(_pad_grid(asm.g, pad_points), dtype=dtype),
         n=asm.grid.n,
         level=asm.grid.level,
         diagonal=config.problem.diagonal,
     )
 
 
-def build_hierarchy(config: SolverConfig) -> Hierarchy:
+def build_hierarchy(
+    config: SolverConfig,
+    pad_points: Optional[Sequence[Optional[Tuple[int, ...]]]] = None,
+) -> Hierarchy:
     """Assemble every level ahead of time and ship it to the device.
 
     `hierarchy.coarse_operator='rediscretize'` re-assembles each level like
     the reference's per-level loop (Multigrid_prototype.py:62); 'galerkin'
-    builds coarse operators variationally as R A P (fem.galerkin)."""
+    builds coarse operators variationally as R A P (fem.galerkin).
+
+    `pad_points` (coarsest..finest, None entries = no padding) pads a
+    level's storage to the given points-per-axis — used by
+    parallel.sharding to make grid axes divisible by the device mesh (and
+    by the Pallas path for tile alignment)."""
     dtype = jnp.dtype(config.dtype)
     grids = build_grid_hierarchy(config.hierarchy, ndim=config.problem.ndim)
     asms = fem_assembly.assemble_hierarchy(grids, config.problem)
@@ -173,7 +208,13 @@ def build_hierarchy(config: SolverConfig) -> Hierarchy:
 
         asms = galerkin_coarsen_hierarchy(asms)
 
-    levels = tuple(_level_from_assembled(a, config, dtype) for a in asms)
+    if pad_points is None:
+        pad_points = [None] * len(asms)
+
+    levels = tuple(
+        _level_from_assembled(a, config, dtype, pad_points=pp)
+        for a, pp in zip(asms, pad_points)
+    )
     coarse = build_coarse_solver(
         asms[0].offsets,
         asms[0].A_planes,
@@ -182,15 +223,25 @@ def build_hierarchy(config: SolverConfig) -> Hierarchy:
     )
     fine_asm = asms[-1]
     M_fine = StencilOperator.from_numpy(
-        fine_asm.M_offsets, fine_asm.M_planes, dtype=dtype
+        fine_asm.M_offsets,
+        _pad_planes(fine_asm.M_planes, pad_points[-1]),
+        dtype=dtype,
     )
     eq = error_quadrature(grids[-1], config.problem)
+    ustar = eq.ustar
+    if pad_points[-1] is not None:
+        # pad the *cell* axes to the padded point count (one past the last
+        # logical cell); error_norm slices back to u.shape[0]-1 cells and
+        # the padding contributes exactly zero.
+        tgt = (ustar.shape[0], ustar.shape[1]) + tuple(pad_points[-1])
+        pads = tuple((0, t - s) for s, t in zip(ustar.shape, tgt))
+        ustar = np.pad(ustar, pads)
     return Hierarchy(
         levels=levels,
         coarse=coarse,
         M_fine=M_fine,
         err_quad=ErrorQuad(
-            ustar=jnp.asarray(eq.ustar, dtype=dtype),
+            ustar=jnp.asarray(ustar, dtype=dtype),
             voffs=eq.voffs,
             lambdas=eq.lambdas,
             vw=eq.vw,

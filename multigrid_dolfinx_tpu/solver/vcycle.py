@@ -20,6 +20,32 @@ from ..ops.smoothers import smooth
 from .hierarchy import Hierarchy
 
 
+def logical_view(u, level) -> jax.Array:
+    """Slice off sharding/tile padding: the logical grid is (n+1)^d."""
+    m = level.n + 1
+    sl = tuple(slice(0, m) for _ in range(u.ndim))
+    return u[sl] if u.shape != (m,) * u.ndim else u
+
+
+def pad_to(x: jax.Array, shape) -> jax.Array:
+    pads = tuple((0, t - s) for s, t in zip(x.shape, shape))
+    if any(p != (0, 0) for p in pads):
+        return jnp.pad(x, pads)
+    return x
+
+
+def restrict_level(r, fine_level, coarse_level, kind: str) -> jax.Array:
+    fc = transfer.restrict(logical_view(r, fine_level), kind)
+    return pad_to(fc, coarse_level.shape)
+
+
+def prolong_level(vc, coarse_level, fine_level, kind: str) -> jax.Array:
+    e = transfer.prolong(
+        logical_view(vc, coarse_level), kind, fine_level.diagonal
+    )
+    return pad_to(e, fine_level.shape)
+
+
 def vcycle(
     hier: Hierarchy,
     spec: CycleSpec,
@@ -45,9 +71,10 @@ def vcycle(
         return (u, None) if collect_debug else u
 
     lv = hier.levels[lidx]
+    lv_c = hier.levels[lidx - 1]
     v = smooth(lv.sm, lv.A, v, f, spec.nu1, spec.smoother)
     r = f - lv.A.apply(v)
-    fc = transfer.restrict(r, spec.restriction)
+    fc = restrict_level(r, lv, lv_c, spec.restriction)
     vc = jnp.zeros_like(fc)
 
     if spec.cycle == "V" or lidx - 1 == 0:
@@ -66,7 +93,7 @@ def vcycle(
     else:
         raise ValueError(f"unknown cycle {spec.cycle!r}")
 
-    e = transfer.prolong(vc, spec.prolongation, lv.diagonal)
+    e = prolong_level(vc, lv_c, lv, spec.prolongation)
     v = v + e
     v = smooth(lv.sm, lv.A, v, f, spec.nu2, spec.smoother)
     if collect_debug:
