@@ -1,0 +1,129 @@
+"""Galerkin (variational) coarse operators:  A_2h = P^T A_h P.
+
+The reference re-discretizes every level (its hierarchy loop assembles each
+grid independently, Multigrid_prototype.py:62-110).  For constant
+coefficients the two coincide up to scaling, but for variable-coefficient
+diffusion the variational product is the correct coarse operator
+(BASELINE.json config 4).  All of this is setup-path numpy/scipy: the
+products are computed once, converted back to stencil planes (multilinear
+P keeps the coarse stencil at radius 1), and shipped to the device like any
+other level.
+"""
+from __future__ import annotations
+
+import itertools
+from typing import List, Sequence, Tuple
+
+import numpy as np
+import scipy.sparse as sp
+
+from .assembly import AssembledLevel, stencil_to_csr
+
+
+def prolongation_csr(
+    coarse_shape: Tuple[int, ...], ndim: int
+) -> sp.csr_matrix:
+    """Multilinear prolongation as a sparse matrix (rows: fine nodes, cols:
+    coarse nodes) — the matrix form of ops.transfer.prolong_linear /
+    reference Interpolation2D (multigrid.py:59-120)."""
+    fine_shape = tuple(2 * (s - 1) + 1 for s in coarse_shape)
+    n_fine = int(np.prod(fine_shape))
+    n_coarse = int(np.prod(coarse_shape))
+    coarse_idx = np.arange(n_coarse).reshape(coarse_shape)
+    fine_idx = np.arange(n_fine).reshape(fine_shape)
+
+    rows, cols, vals = [], [], []
+    for parity in itertools.product((0, 1), repeat=ndim):
+        corners = list(itertools.product(
+            *[range(2) if p else range(1) for p in parity]
+        ))
+        w = 1.0 / len(corners)
+        f_block = fine_idx[tuple(slice(p, None, 2) for p in parity)]
+        for corner in corners:
+            sl = tuple(
+                slice(None) if p == 0
+                else (slice(0, -1) if c == 0 else slice(1, None))
+                for p, c in zip(parity, corner)
+            )
+            c_block = coarse_idx[sl]
+            rows.append(f_block.reshape(-1))
+            cols.append(c_block.reshape(-1))
+            vals.append(np.full(c_block.size, w))
+    P = sp.csr_matrix(
+        (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+        shape=(n_fine, n_coarse),
+    )
+    return P
+
+
+def csr_to_stencil(
+    A: sp.csr_matrix, shape: Tuple[int, ...]
+) -> Tuple[Tuple[Tuple[int, ...], ...], np.ndarray]:
+    """Sparse matrix (on a structured grid, radius-1 coupling) -> stencil
+    planes.  Asserts no coupling beyond offset +-1 per axis."""
+    ndim = len(shape)
+    coo = A.tocoo()
+    row_coords = np.array(np.unravel_index(coo.row, shape))   # (d, nnz)
+    col_coords = np.array(np.unravel_index(coo.col, shape))
+    delta = col_coords - row_coords                            # (d, nnz)
+    if delta.size and np.abs(delta).max() > 1:
+        raise ValueError("operator has coupling beyond stencil radius 1")
+    offsets = sorted(itertools.product((-1, 0, 1), repeat=ndim))
+    planes = np.zeros((len(offsets),) + shape)
+    key = {off: k for k, off in enumerate(offsets)}
+    ks = np.array([key[tuple(d)] for d in delta.T], dtype=np.int64)
+    np.add.at(planes, (ks,) + tuple(row_coords), coo.data)
+    #
+
+    nz = [k for k, off in enumerate(offsets)
+          if off == (0,) * ndim or np.any(planes[k] != 0.0)]
+    return tuple(offsets[k] for k in nz), planes[nz]
+
+
+def eliminate_dirichlet_csr(A: sp.csr_matrix, boundary_flat: np.ndarray):
+    """Symmetric elimination on a CSR matrix: zero bc rows and columns, set
+    unit diagonal (dolfinx assemble_matrix(bcs=...) semantics,
+    Multigrid_prototype.py:92)."""
+    n = A.shape[0]
+    keep = sp.diags((~boundary_flat).astype(np.float64), 0)
+    A2 = keep @ A @ keep
+    A2 = A2 + sp.diags(boundary_flat.astype(np.float64), 0)
+    return A2.tocsr()
+
+
+def galerkin_coarsen_hierarchy(
+    asms: Sequence[AssembledLevel],
+) -> List[AssembledLevel]:
+    """Replace every coarse level's eliminated stiffness with the Galerkin
+    product of the next-finer level:  A_c = eliminate(P^T A_f P).
+
+    The finest level keeps its assembled operator; RHS vectors stay the
+    per-level assembled ones (the reference's FMG uses assembled b at every
+    level, multigrid.py:279 — unchanged here)."""
+    out = list(asms)
+    for i in range(len(asms) - 2, -1, -1):
+        fine = out[i + 1]
+        coarse = out[i]
+        ndim = coarse.grid.ndim
+        A_f = stencil_to_csr(fine.offsets, fine.A_planes)
+        P = prolongation_csr(coarse.grid.shape, ndim)
+        A_c = (P.T @ A_f @ P).tocsr()
+        A_c = eliminate_dirichlet_csr(
+            A_c, (~coarse.interior).reshape(-1)
+        )
+        A_c.eliminate_zeros()
+        offsets, planes = csr_to_stencil(A_c, coarse.grid.shape)
+        center = offsets.index((0,) * ndim)
+        out[i] = AssembledLevel(
+            grid=coarse.grid,
+            offsets=offsets,
+            A_planes=planes,
+            A_raw_planes=coarse.A_raw_planes,
+            M_offsets=coarse.M_offsets,
+            M_planes=coarse.M_planes,
+            b=coarse.b,
+            g=coarse.g,
+            interior=coarse.interior,
+            diag=planes[center].copy(),
+        )
+    return out

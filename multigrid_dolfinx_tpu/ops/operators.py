@@ -12,12 +12,20 @@ which XLA compiles to K fused shifted elementwise multiply-adds — unit-stride
 VPU work with no index traffic.  Boundary conditions are *baked into the
 planes* at assembly time (rows/columns eliminated, identity diagonal), so
 `apply` needs no masking and is branch-free.
+
+Fast path: constant-coefficient rediscretized operators (the 5-point
+P1-Poisson stencil and friends) have planes that are *constant on the
+interior* with identity/zero boundary rows.  For those the planes are never
+read at apply time — the stencil weights are compile-time constants and the
+interior/boundary masks are computed from iota (index arithmetic, zero HBM
+traffic), so a matvec touches only u itself.  That turns the smoother from
+~10 HBM passes per sweep into ~3.
 """
 from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -27,10 +35,27 @@ import numpy as np
 Offset = Tuple[int, ...]
 
 
+def box_interior_mask(shape: Tuple[int, ...], logical_m: int) -> jax.Array:
+    """Interior = strictly inside the logical (logical_m)^d node box —
+    excludes both the Dirichlet boundary and any sharding/tile padding.
+    Built from broadcasted_iota: no stored mask, no memory traffic."""
+    m = None
+    for axis, s in enumerate(shape):
+        i = jax.lax.broadcasted_iota(jnp.int32, shape, axis)
+        g = (i >= 1) & (i <= logical_m - 2)
+        m = g if m is None else m & g
+    return m
+
+
+def _shifted(up: jax.Array, off: Offset, shape, r: int) -> jax.Array:
+    sl = tuple(slice(r + o, r + o + s) for o, s in zip(off, shape))
+    return up[sl]
+
+
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["planes"],
-    meta_fields=["offsets"],
+    meta_fields=["offsets", "const_weights", "logical_m", "boundary_mode"],
 )
 @dataclasses.dataclass(frozen=True)
 class StencilOperator:
@@ -38,10 +63,19 @@ class StencilOperator:
 
     planes: (K, *grid_shape) array; offsets: K static integer offsets.
     Rows are grid points; entry k couples p -> p + offsets[k].
+
+    const_weights (optional, static): per-offset interior weights when the
+    operator is interior-constant; with it set, apply() uses the maskless
+    fast path and never reads `planes`.  boundary_mode says what the
+    non-interior rows do: 'identity' (Dirichlet-eliminated stiffness) or
+    'zero' (R_omega = Dinv(A-D), whose bc rows vanish).
     """
 
-    planes: jax.Array
+    planes: Optional[jax.Array]
     offsets: Tuple[Offset, ...]
+    const_weights: Optional[Tuple[float, ...]] = None
+    logical_m: Optional[int] = None
+    boundary_mode: str = "identity"
 
     @property
     def ndim(self) -> int:
@@ -55,46 +89,130 @@ class StencilOperator:
     def radius(self) -> int:
         return max(max(abs(c) for c in off) for off in self.offsets)
 
+    @property
+    def is_const(self) -> bool:
+        return self.const_weights is not None
+
+    @property
+    def axis_only(self) -> bool:
+        """True if every non-center offset touches exactly one axis — the
+        stencil graph is then 2-colorable by coordinate-sum parity."""
+        zero = (0,) * self.ndim
+        return all(
+            off == zero or sum(1 for c in off if c != 0) == 1
+            for off in self.offsets
+        )
+
     def center_index(self) -> int:
         return self.offsets.index((0,) * self.ndim)
 
     def diag(self) -> jax.Array:
         return self.planes[self.center_index()]
 
-    def apply(self, u: jax.Array) -> jax.Array:
-        """Matvec.  K shifted multiply-adds; XLA fuses these into a single
-        HBM pass over u and the planes."""
+    # ------------------------------------------------------------------
+
+    def _apply_planes(self, u: jax.Array) -> jax.Array:
         r = self.radius
-        pad = [(r, r)] * u.ndim
-        up = jnp.pad(u, pad)
+        up = jnp.pad(u, [(r, r)] * u.ndim)
         out = None
         for k, off in enumerate(self.offsets):
-            sl = tuple(
-                slice(r + o, r + o + s) for o, s in zip(off, u.shape)
-            )
-            term = self.planes[k] * up[sl]
+            term = self.planes[k] * _shifted(up, off, u.shape, r)
             out = term if out is None else out + term
         return out
+
+    def _apply_const(self, u: jax.Array) -> jax.Array:
+        interior = box_interior_mask(u.shape, self.logical_m)
+        ut = jnp.where(interior, u, jnp.zeros_like(u))
+        r = self.radius
+        up = jnp.pad(ut, [(r, r)] * u.ndim)
+        zero = (0,) * self.ndim
+        out = None
+        for k, off in enumerate(self.offsets):
+            w = self.const_weights[k]
+            if w == 0.0:
+                continue
+            term = w * (ut if off == zero else _shifted(up, off, u.shape, r))
+            out = term if out is None else out + term
+        if out is None:
+            out = jnp.zeros_like(u)
+        if self.boundary_mode == "identity":
+            return jnp.where(interior, out, u)
+        return jnp.where(interior, out, jnp.zeros_like(u))
+
+    def apply(self, u: jax.Array) -> jax.Array:
+        """Matvec.  Planes path: K fused shifted multiply-adds.  Const
+        path: weights are immediates and masks come from iota — one HBM
+        pass over u."""
+        if self.is_const:
+            return self._apply_const(u)
+        return self._apply_planes(u)
 
     def __call__(self, u: jax.Array) -> jax.Array:
         return self.apply(u)
 
-    def scale_rows(self, s: jax.Array) -> "StencilOperator":
-        return StencilOperator(planes=self.planes * s[None], offsets=self.offsets)
-
-    def drop_center(self) -> "StencilOperator":
-        c = self.center_index()
-        planes = self.planes.at[c].set(jnp.zeros_like(self.planes[c]))
-        return StencilOperator(planes=planes, offsets=self.offsets)
-
     def astype(self, dtype) -> "StencilOperator":
-        return StencilOperator(planes=self.planes.astype(dtype), offsets=self.offsets)
+        return dataclasses.replace(
+            self,
+            planes=None if self.planes is None else self.planes.astype(dtype),
+        )
 
     @staticmethod
-    def from_numpy(offsets, planes: np.ndarray, dtype=jnp.float32) -> "StencilOperator":
+    def from_numpy(
+        offsets,
+        planes: np.ndarray,
+        dtype=jnp.float32,
+        const_weights: Optional[Tuple[float, ...]] = None,
+        logical_m: Optional[int] = None,
+        boundary_mode: str = "identity",
+    ) -> "StencilOperator":
         return StencilOperator(
-            planes=jnp.asarray(planes, dtype=dtype), offsets=tuple(map(tuple, offsets))
+            planes=jnp.asarray(planes, dtype=dtype),
+            offsets=tuple(map(tuple, offsets)),
+            const_weights=const_weights,
+            logical_m=logical_m,
+            boundary_mode=boundary_mode,
         )
+
+
+def detect_const_stencil(
+    offsets,
+    planes: np.ndarray,
+    interior: np.ndarray,
+    boundary_mode: str = "identity",
+    rtol: float = 0.0,
+) -> Optional[Tuple[float, ...]]:
+    """Setup-time check (numpy): does this operator match the structure the
+    const fast path reproduces —
+
+        row p interior:  A[p, p+off] = w_off * [p+off interior]
+        row p boundary:  identity ('identity' mode) or all-zero ('zero')
+
+    i.e. constant interior weights with symmetric column elimination?  If
+    so, return the static per-offset weights."""
+    ndim = interior.ndim
+    zero = (0,) * ndim
+    shape = interior.shape
+    if not interior.any():
+        return None
+    weights = []
+    for k, off in enumerate(offsets):
+        # interior mask of the neighbor p+off (out-of-range -> False)
+        r = max(abs(c) for c in off) if off != zero else 0
+        ipad = np.pad(interior, 1, constant_values=False)
+        sl = tuple(slice(1 + o, 1 + o + s) for o, s in zip(off, shape))
+        nbr_int = ipad[sl]
+        sample = interior & nbr_int
+        if sample.any():
+            w = float(planes[k][sample].flat[0])
+        else:
+            w = 0.0
+        expect = np.where(interior, w * nbr_int, 0.0)
+        if boundary_mode == "identity" and off == zero:
+            expect = np.where(interior, expect, 1.0)
+        if not np.allclose(planes[k], expect, rtol=rtol, atol=1e-14):
+            return None
+        weights.append(w)
+    return tuple(weights)
 
 
 def quadratic_form(op: StencilOperator, u: jax.Array, v: jax.Array) -> jax.Array:

@@ -60,6 +60,17 @@ def color_mask(shape: Tuple[int, ...], parity: Tuple[int, ...]) -> jnp.ndarray:
     return m
 
 
+def sum_parity_mask(shape: Tuple[int, ...], parity: int) -> jnp.ndarray:
+    """Red/black mask by coordinate-sum parity — a valid 2-coloring whenever
+    the stencil has only axis-aligned neighbors (the 5-/7-point Poisson
+    case), halving the color loop vs the generic 2^d classes."""
+    acc = None
+    for axis in range(len(shape)):
+        i = jax.lax.broadcasted_iota(jnp.int32, shape, axis)
+        acc = i if acc is None else acc + i
+    return (acc % 2) == parity
+
+
 def jacobi_smooth(
     sm: SmootherData,
     v: jax.Array,
@@ -97,13 +108,21 @@ def multicolor_gs_smooth(
     for each color c in turn, v[c] <- v[c] + dinv*(f - A v)[c].
 
     Each color update touches an independent set, so the masked vectorized
-    update is exact lexicographic-within-color GS and fully parallel."""
+    update is exact lexicographic-within-color GS and fully parallel.
+    Axis-only stencils (5-/7-point) use true red-black (2 colors); general
+    radius-1 stencils use the 2^d coordinate-parity classes."""
     d = v.ndim
-    parities = list(itertools.product((0, 1), repeat=d))
+    if A.axis_only:
+        masks = [partial(sum_parity_mask, parity=p) for p in (0, 1)]
+    else:
+        masks = [
+            partial(color_mask, parity=p)
+            for p in itertools.product((0, 1), repeat=d)
+        ]
 
     def sweep(_, v):
-        for parity in parities:
-            mask = color_mask(v.shape, parity)
+        for mk in masks:
+            mask = mk(v.shape)
             r = f - A.apply(v)
             v = jnp.where(mask, v + sm.dinv * r, v)
         return v

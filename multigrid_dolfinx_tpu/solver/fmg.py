@@ -89,26 +89,29 @@ def _tolerance_loop(
     nan = jnp.array(jnp.nan, dtype=dtype)
 
     def body(carry):
-        v, k, _, _, res_h, err_h = carry
+        v, k, _, _, rn0, res_h, err_h = carry
         v = vcycle(hier, spec, L, v, f)
         r = f - A_fine.apply(v)
         rn = residual_norm(hier, r)
         en = error_norm(hier, v)
         res_h = res_h.at[k].set(rn)
         err_h = err_h.at[k].set(en)
+        rn0 = jnp.where(k == 0, rn, rn0)
         converged = rn <= spec.tol
-        diverged = ~jnp.isfinite(rn)
-        return (v, k + 1, converged, diverged, res_h, err_h)
+        # Divergence guard (absent in the reference's unbounded while-True,
+        # SURVEY.md §5): non-finite residual OR runaway growth.
+        diverged = (~jnp.isfinite(rn)) | (rn > 1e8 * rn0)
+        return (v, k + 1, converged, diverged, rn0, res_h, err_h)
 
     def cond(carry):
-        _, k, converged, diverged, _, _ = carry
+        _, k, converged, diverged, _, _, _ = carry
         return (~converged) & (~diverged) & (k < max_c)
 
     res_h0 = jnp.full((max_c,), nan, dtype=dtype)
     err_h0 = jnp.full((max_c,), nan, dtype=dtype)
     init = (v0, jnp.array(0, jnp.int32), jnp.array(False), jnp.array(False),
-            res_h0, err_h0)
-    v, k, converged, diverged, res_h, err_h = jax.lax.while_loop(
+            jnp.array(jnp.inf, dtype=dtype), res_h0, err_h0)
+    v, k, converged, diverged, _, res_h, err_h = jax.lax.while_loop(
         cond, body, init
     )
     return SolveResult(

@@ -24,7 +24,7 @@ from ..fem import assembly as fem_assembly
 from ..fem.assembly import AssembledLevel, stencil_apply_np
 from ..fem.norms import error_quadrature
 from ..ops.coarse import CoarseSolver, build_coarse_solver
-from ..ops.operators import StencilOperator
+from ..ops.operators import StencilOperator, detect_const_stencil
 from ..ops.smoothers import SmootherData
 
 
@@ -147,8 +147,17 @@ def _level_from_assembled(
     asm: AssembledLevel, config: SolverConfig, dtype,
     pad_points: Optional[Tuple[int, ...]] = None,
 ) -> Level:
+    logical_m = asm.grid.n + 1
+    # Const-stencil fast path: constant-coefficient rediscretized operators
+    # never read their planes at apply time (weights become immediates,
+    # masks come from iota) — detected structurally, so Galerkin/variable-
+    # coefficient operators automatically fall back to the planes path.
+    A_w = detect_const_stencil(
+        asm.offsets, asm.A_planes, asm.interior, boundary_mode="identity"
+    )
     A = StencilOperator.from_numpy(
-        asm.offsets, _pad_planes(asm.A_planes, pad_points), dtype=dtype
+        asm.offsets, _pad_planes(asm.A_planes, pad_points), dtype=dtype,
+        const_weights=A_w, logical_m=logical_m, boundary_mode="identity",
     )
     diag = asm.diag
     dinv_np = 1.0 / diag
@@ -157,8 +166,12 @@ def _level_from_assembled(
     # mirrors getJacobiMatrices (multigrid.py:48-56) but in stencil form.
     r_planes = asm.A_planes * dinv_np[None]
     r_planes[center] = 0.0
+    R_w = detect_const_stencil(
+        asm.offsets, r_planes, asm.interior, boundary_mode="zero"
+    )
     r_omega = StencilOperator.from_numpy(
-        asm.offsets, _pad_planes(r_planes, pad_points), dtype=dtype
+        asm.offsets, _pad_planes(r_planes, pad_points), dtype=dtype,
+        const_weights=R_w, logical_m=logical_m, boundary_mode="zero",
     )
 
     if config.cycle.smoother == "chebyshev":

@@ -35,7 +35,26 @@ def pad_to(x: jax.Array, shape) -> jax.Array:
 
 
 def restrict_level(r, fine_level, coarse_level, kind: str) -> jax.Array:
-    fc = transfer.restrict(logical_view(r, fine_level), kind)
+    """Restrict the fine residual to the coarse grid.
+
+    For the variational 'pt' restriction the coarse problem is a pure
+    *correction* equation: the error vanishes at Dirichlet nodes, so the
+    boundary residual is masked out before restriction and the coarse bc
+    RHS zeroed after (feeding the 2^d-scaled boundary residual into the
+    identity bc rows of the coarse operator is unstable — it amplifies the
+    boundary error every cycle).  The reference-parity kinds ('injection',
+    'full_weighting') keep the reference's behavior of carrying the bc
+    residual through (multigrid.py:251-252)."""
+    from ..ops.operators import box_interior_mask
+
+    r_log = logical_view(r, fine_level)
+    if kind == "pt":
+        mask_f = box_interior_mask(r_log.shape, fine_level.n + 1)
+        r_log = jnp.where(mask_f, r_log, jnp.zeros_like(r_log))
+    fc = transfer.restrict(r_log, kind)
+    if kind == "pt":
+        mask_c = box_interior_mask(fc.shape, coarse_level.n + 1)
+        fc = jnp.where(mask_c, fc, jnp.zeros_like(fc))
     return pad_to(fc, coarse_level.shape)
 
 
