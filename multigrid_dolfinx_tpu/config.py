@@ -127,6 +127,9 @@ class CycleSpec:
     tol: float = 1e-11             # on the mass-weighted (FEM-L2) residual norm
     max_cycles: int = 100          # guard the reference's unbounded while-True
     check_every: int = 1
+    # Fused Pallas TPU kernels for the hot ops (requires/implies padded
+    # (8,128)-aligned level storage; falls back per-op when ineligible).
+    use_pallas: bool = False
 
     def __post_init__(self):
         if self.smoother not in ("jacobi", "rbgs", "chebyshev"):

@@ -175,6 +175,41 @@ def chebyshev_smooth(
     return jax.lax.fori_loop(0, nrounds, one_round, v)
 
 
+def _pallas_jacobi(sm, A, v, f, nsweeps):
+    from . import dispatch
+    from .pallas import stencil2d
+
+    interp = dispatch.interpret_mode()
+    df = sm.dinv * f
+    lm = A.logical_m
+
+    def sweep(_, v):
+        return stencil2d.jacobi_sweep(v, df, lm, sm.omega, interpret=interp)
+
+    if nsweeps <= 2:
+        for k in range(nsweeps):
+            v = sweep(k, v)
+        return v
+    return jax.lax.fori_loop(0, nsweeps, sweep, v)
+
+
+def _pallas_rbgs(sm, A, v, f, nsweeps):
+    from . import dispatch
+    from .pallas import stencil2d
+
+    interp = dispatch.interpret_mode()
+    lm = A.logical_m
+
+    def sweep(_, v):
+        return stencil2d.rb_sweep(v, f, lm, interpret=interp)
+
+    if nsweeps <= 2:
+        for k in range(nsweeps):
+            v = sweep(k, v)
+        return v
+    return jax.lax.fori_loop(0, nsweeps, sweep, v)
+
+
 def smooth(
     sm: SmootherData,
     A: StencilOperator,
@@ -182,9 +217,18 @@ def smooth(
     f: jax.Array,
     nsweeps: int,
     kind: str,
+    use_pallas: bool = False,
 ) -> jax.Array:
     if nsweeps <= 0:
         return v
+    if use_pallas:
+        from . import dispatch
+
+        if dispatch.pallas_eligible(A, v.shape, v.dtype):
+            if kind == "jacobi":
+                return _pallas_jacobi(sm, A, v, f, nsweeps)
+            if kind == "rbgs":
+                return _pallas_rbgs(sm, A, v, f, nsweeps)
     if kind == "jacobi":
         return jacobi_smooth(sm, v, f, nsweeps)
     if kind == "rbgs":

@@ -26,7 +26,7 @@ from ..config import CycleSpec
 from ..ops import transfer
 from ..ops.operators import StencilOperator, mass_norm, quadratic_form
 from .hierarchy import Hierarchy
-from .vcycle import prolong_level, vcycle
+from .vcycle import compute_residual, prolong_level, vcycle
 
 
 class SolveResult(NamedTuple):
@@ -91,7 +91,7 @@ def _tolerance_loop(
     def body(carry):
         v, k, _, _, rn0, res_h, err_h = carry
         v = vcycle(hier, spec, L, v, f)
-        r = f - A_fine.apply(v)
+        r = compute_residual(hier.finest, v, f, use_pallas=spec.use_pallas)
         rn = residual_norm(hier, r)
         en = error_norm(hier, v)
         res_h = res_h.at[k].set(rn)
@@ -158,7 +158,8 @@ def fmg_solve(
         return (res, debug) if collect_debug else res
 
     for li in range(1, nlev):
-        v = prolong_level(v, hier.levels[li - 1], hier.levels[li], spec.prolongation)
+        v = prolong_level(v, hier.levels[li - 1], hier.levels[li],
+                          spec.prolongation, use_pallas=spec.use_pallas)
         f = hier.levels[li].b
         is_finest = li == nlev - 1
         if not is_finest or mode == "fixed":

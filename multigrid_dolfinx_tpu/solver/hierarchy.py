@@ -222,7 +222,16 @@ def build_hierarchy(
         asms = galerkin_coarsen_hierarchy(asms)
 
     if pad_points is None:
-        pad_points = [None] * len(asms)
+        if config.cycle.use_pallas and config.problem.ndim == 2:
+            # (8,128)-tile-aligned storage for the fused Pallas kernels
+            def _r(x, m):
+                return ((x + m - 1) // m) * m
+
+            pad_points = [
+                (_r(a.grid.n + 1, 128), _r(a.grid.n + 1, 128)) for a in asms
+            ]
+        else:
+            pad_points = [None] * len(asms)
 
     levels = tuple(
         _level_from_assembled(a, config, dtype, pad_points=pp)

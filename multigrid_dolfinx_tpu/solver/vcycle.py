@@ -34,7 +34,22 @@ def pad_to(x: jax.Array, shape) -> jax.Array:
     return x
 
 
-def restrict_level(r, fine_level, coarse_level, kind: str) -> jax.Array:
+def compute_residual(level, v, f, use_pallas: bool = False) -> jax.Array:
+    """r = f - A v, fused into one Pallas pass when eligible."""
+    if use_pallas:
+        from ..ops import dispatch
+
+        if dispatch.pallas_eligible(level.A, v.shape, v.dtype):
+            from ..ops.pallas import stencil2d
+
+            return stencil2d.residual(
+                v, f, level.A.logical_m, interpret=dispatch.interpret_mode()
+            )
+    return f - level.A.apply(v)
+
+
+def restrict_level(r, fine_level, coarse_level, kind: str,
+                   use_pallas: bool = False) -> jax.Array:
     """Restrict the fine residual to the coarse grid.
 
     For the variational 'pt' restriction the coarse problem is a pure
@@ -47,6 +62,21 @@ def restrict_level(r, fine_level, coarse_level, kind: str) -> jax.Array:
     residual through (multigrid.py:251-252)."""
     from ..ops.operators import box_interior_mask
 
+    if use_pallas and kind == "pt":
+        from ..ops import dispatch
+
+        if (
+            dispatch.pallas_eligible(fine_level.A, r.shape, r.dtype)
+            and dispatch.layout_aligned(coarse_level.shape)
+        ):
+            from ..ops.pallas import stencil2d
+
+            return stencil2d.restrict_pt(
+                r, coarse_level.shape,
+                fine_level.n + 1, coarse_level.n + 1,
+                interpret=dispatch.interpret_mode(),
+            )
+
     r_log = logical_view(r, fine_level)
     if kind == "pt":
         mask_f = box_interior_mask(r_log.shape, fine_level.n + 1)
@@ -58,7 +88,21 @@ def restrict_level(r, fine_level, coarse_level, kind: str) -> jax.Array:
     return pad_to(fc, coarse_level.shape)
 
 
-def prolong_level(vc, coarse_level, fine_level, kind: str) -> jax.Array:
+def prolong_level(vc, coarse_level, fine_level, kind: str,
+                  use_pallas: bool = False) -> jax.Array:
+    if use_pallas and kind == "bilinear":
+        from ..ops import dispatch
+
+        if (
+            dispatch.pallas_eligible(fine_level.A, fine_level.shape, vc.dtype)
+            and dispatch.layout_aligned(vc.shape)
+        ):
+            from ..ops.pallas import stencil2d
+
+            return stencil2d.prolong_linear(
+                vc, fine_level.shape, fine_level.n + 1,
+                interpret=dispatch.interpret_mode(),
+            )
     e = transfer.prolong(
         logical_view(vc, coarse_level), kind, fine_level.diagonal
     )
@@ -91,9 +135,11 @@ def vcycle(
 
     lv = hier.levels[lidx]
     lv_c = hier.levels[lidx - 1]
-    v = smooth(lv.sm, lv.A, v, f, spec.nu1, spec.smoother)
-    r = f - lv.A.apply(v)
-    fc = restrict_level(r, lv, lv_c, spec.restriction)
+    v = smooth(lv.sm, lv.A, v, f, spec.nu1, spec.smoother,
+               use_pallas=spec.use_pallas)
+    r = compute_residual(lv, v, f, use_pallas=spec.use_pallas)
+    fc = restrict_level(r, lv, lv_c, spec.restriction,
+                        use_pallas=spec.use_pallas)
     vc = jnp.zeros_like(fc)
 
     if spec.cycle == "V" or lidx - 1 == 0:
@@ -112,9 +158,11 @@ def vcycle(
     else:
         raise ValueError(f"unknown cycle {spec.cycle!r}")
 
-    e = prolong_level(vc, lv_c, lv, spec.prolongation)
+    e = prolong_level(vc, lv_c, lv, spec.prolongation,
+                      use_pallas=spec.use_pallas)
     v = v + e
-    v = smooth(lv.sm, lv.A, v, f, spec.nu2, spec.smoother)
+    v = smooth(lv.sm, lv.A, v, f, spec.nu2, spec.smoother,
+               use_pallas=spec.use_pallas)
     if collect_debug:
         return v, (fc, vc, e)
     return v

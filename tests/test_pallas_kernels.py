@@ -1,0 +1,132 @@
+"""Pallas kernel correctness vs the jnp reference ops (interpret mode on
+CPU; the same kernels compile via Mosaic on TPU).
+
+Uses the padded-storage discipline: arrays (M, W) with logical (lm, lm)
+corner, zero padding, rows % 8 == 0, cols % 128 == 0.
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from multigrid_dolfinx_tpu import build_hierarchy, models, solve
+from multigrid_dolfinx_tpu.config import CycleSpec
+from multigrid_dolfinx_tpu.ops import dispatch
+from multigrid_dolfinx_tpu.ops.pallas import stencil2d
+from multigrid_dolfinx_tpu.ops.smoothers import (
+    jacobi_smooth,
+    multicolor_gs_smooth,
+)
+from multigrid_dolfinx_tpu.solver import vcycle as vc
+
+
+LM = 65           # logical points per dim (64 elements)
+M, W = 128, 128   # padded storage (rows and cols rounded to 128)
+
+
+@pytest.fixture(scope="module")
+def lev():
+    """A pallas-padded float32 hierarchy level (finest of a small 2-level
+    problem) plus matching jnp-path hierarchy."""
+    cyc = CycleSpec(nu1=2, nu2=2, smoother="rbgs", restriction="pt",
+                    tol=1e-6, max_cycles=30, use_pallas=True)
+    cfg = models.poisson2d(finest_level=3, coarsest_level=2,
+                           coarsest_elements=8, dtype="float32", cycle=cyc)
+    hier = build_hierarchy(cfg)
+    return cfg, hier
+
+
+def _rand_state(shape, lm, seed=0):
+    rng = np.random.default_rng(seed)
+    v = np.zeros(shape, np.float32)
+    v[:lm, :lm] = rng.standard_normal((lm, lm)).astype(np.float32)
+    return jnp.asarray(v)
+
+
+def test_padding_shapes(lev):
+    cfg, hier = lev
+    assert hier.finest.shape == (128, 128)
+    assert hier.finest.A.const_weights is not None
+    assert dispatch.pallas_eligible(hier.finest.A, hier.finest.shape,
+                                    jnp.float32)
+
+
+def test_jacobi_sweep_matches_jnp(lev):
+    cfg, hier = lev
+    fl = hier.finest
+    lm = fl.n + 1
+    v = _rand_state(fl.shape, lm, 1)
+    f = fl.b
+    want = jacobi_smooth(fl.sm, v, f, 1)
+    df = fl.sm.dinv * f
+    got = stencil2d.jacobi_sweep(v, df, lm, fl.sm.omega, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-6, atol=2e-6)
+    # padding must remain exactly zero
+    assert np.all(np.asarray(got)[lm:, :] == 0)
+    assert np.all(np.asarray(got)[:, lm:] == 0)
+
+
+def test_rb_sweep_matches_jnp(lev):
+    cfg, hier = lev
+    fl = hier.finest
+    lm = fl.n + 1
+    v = _rand_state(fl.shape, lm, 2)
+    f = fl.b
+    want = multicolor_gs_smooth(fl.sm, fl.A, v, f, 1)
+    got = stencil2d.rb_sweep(v, f, lm, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_residual_matches_jnp(lev):
+    cfg, hier = lev
+    fl = hier.finest
+    lm = fl.n + 1
+    v = _rand_state(fl.shape, lm, 3)
+    f = fl.b
+    want = f - fl.A.apply(v)
+    got = stencil2d.residual(v, f, lm, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-6, atol=2e-6)
+
+
+def test_restrict_pt_matches_jnp(lev):
+    cfg, hier = lev
+    fl, cl = hier.finest, hier.levels[0]
+    lmf, lmc = fl.n + 1, cl.n + 1
+    r = _rand_state(fl.shape, lmf, 4)
+    want = vc.restrict_level(r, fl, cl, "pt", use_pallas=False)
+    got = stencil2d.restrict_pt(r, cl.shape, lmf, lmc, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-6, atol=2e-6)
+
+
+def test_prolong_matches_jnp(lev):
+    cfg, hier = lev
+    fl, cl = hier.finest, hier.levels[0]
+    lmc = cl.n + 1
+    c = _rand_state(cl.shape, lmc, 5)
+    want = vc.prolong_level(c, cl, fl, "bilinear", use_pallas=False)
+    got = stencil2d.prolong_linear(c, fl.shape, fl.n + 1, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-6, atol=2e-6)
+
+
+def test_full_pallas_solve_matches_jnp_solve():
+    """End-to-end: use_pallas=True (interpret on CPU) == plain jnp solve."""
+    base = dict(nu1=2, nu2=2, smoother="rbgs", restriction="pt",
+                tol=1e-5, max_cycles=30)
+    cyc_p = CycleSpec(use_pallas=True, **base)
+    cyc_j = CycleSpec(use_pallas=False, **base)
+    cfg_p = models.poisson2d(finest_level=3, dtype="float32", cycle=cyc_p)
+    cfg_j = models.poisson2d(finest_level=3, dtype="float32", cycle=cyc_j)
+    rp = solve(build_hierarchy(cfg_p), cfg_p.cycle, mode="tol")
+    rj = solve(build_hierarchy(cfg_j), cfg_j.cycle, mode="tol")
+    assert bool(rp.converged)
+    assert int(rp.num_cycles) == int(rj.num_cycles)
+    lm = cfg_p.hierarchy.elements_at(3) + 1
+    np.testing.assert_allclose(
+        np.asarray(rp.u)[:lm, :lm], np.asarray(rj.u)[:lm, :lm],
+        rtol=1e-4, atol=1e-5,
+    )
