@@ -1,0 +1,188 @@
+"""Command-line entry point.
+
+The reference's only "entry point" is executing Multigrid_prototype.py top
+to bottom with hardcoded literals (SURVEY.md §1).  This CLI makes every
+parameter a flag and reproduces the reference's CSV outputs.
+
+Examples::
+
+    # the reference's exact run (3 levels, V(50,50), tol 1e-11) + CSVs
+    python -m multigrid_dolfinx_tpu solve --reference-parity --csv
+
+    # production config on TPU
+    python -m multigrid_dolfinx_tpu solve --finest-level 8 --nu 2 \\
+        --smoother rbgs --restriction pt --dtype float32 --tol 1e-8 --pallas
+
+    # 3D
+    python -m multigrid_dolfinx_tpu solve --ndim 3 --finest-level 4 \\
+        --coarsest-level 1 --nu 2 --restriction pt --dtype float32
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _build_config(args):
+    from .config import CycleSpec, HierarchySpec, ProblemSpec, SolverConfig
+
+    if args.reference_parity:
+        from .config import reference_parity_config
+
+        return reference_parity_config()
+
+    problem = ProblemSpec(
+        ndim=args.ndim,
+        degree=args.degree,
+        rhs_const=args.rhs_const,
+        diagonal=args.diagonal,
+    )
+    hierarchy = HierarchySpec(
+        coarsest_elements=args.coarsest_elements,
+        coarsest_level=args.coarsest_level,
+        finest_level=args.finest_level,
+        coarse_operator=args.coarse_operator,
+    )
+    cycle = CycleSpec(
+        mu0=args.mu0,
+        nu1=args.nu,
+        nu2=args.nu,
+        omega=args.omega,
+        smoother=args.smoother,
+        cycle=args.cycle,
+        restriction=args.restriction,
+        tol=args.tol,
+        max_cycles=args.max_cycles,
+        use_pallas=args.pallas,
+    )
+    return SolverConfig(
+        problem=problem, hierarchy=hierarchy, cycle=cycle, dtype=args.dtype
+    )
+
+
+def cmd_solve(args) -> int:
+    if args.platform:
+        import jax
+
+        # env JAX_PLATFORMS can be pinned by site config; jax.config wins.
+        jax.config.update("jax_platforms", args.platform)
+    if args.dtype == "float64":
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
+
+    from . import build_hierarchy, solve
+    from .utils import csv_io
+
+    cfg = _build_config(args)
+    t0 = time.perf_counter()
+    hier = build_hierarchy(cfg)
+    t_build = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    if args.mgcg:
+        from .solver.krylov import solve_mgcg
+
+        result = solve_mgcg(hier, cfg.cycle)
+        cycles = int(result.num_iters)
+        err_hist = None
+    else:
+        result = solve(hier, cfg.cycle, mode="fixed" if args.fixed else "tol")
+        cycles = int(result.num_cycles)
+        err_hist = np.asarray(result.err_hist)
+    np.asarray(result.u)
+    t_solve = time.perf_counter() - t0
+
+    n = cfg.hierarchy.elements_at(cfg.hierarchy.finest_level)
+    ndofs = (n + 1) ** cfg.problem.ndim
+    res_hist = np.asarray(result.res_hist)
+    k = cycles
+    out = {
+        "converged": bool(result.converged),
+        "cycles": k,
+        "final_residual": float(res_hist[k - 1]) if k > 0 else None,
+        "final_error": (
+            float(err_hist[k - 1]) if err_hist is not None and k > 0 else None
+        ),
+        "ndofs": ndofs,
+        "build_seconds": round(t_build, 3),
+        "solve_seconds": round(t_solve, 3),
+        "dofs_per_second_per_cycle": (
+            round(ndofs * k / t_solve, 1) if t_solve > 0 and k else None
+        ),
+    }
+    print(json.dumps(out))
+
+    if args.csv:
+        L = cfg.hierarchy.num_levels
+        csv_io.write_residual_csv(res_hist, n, L, args.csv_dir)
+        if err_hist is not None:
+            csv_io.write_error_csv(err_hist, n, L, args.csv_dir)
+        csv_io.append_iter_count_csv(n, L, k, args.csv_dir)
+
+    if args.checkpoint:
+        from .utils.checkpoint import save_checkpoint
+
+        save_checkpoint(args.checkpoint, cfg, result)
+    return 0 if bool(result.converged) or args.fixed else 1
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="multigrid_dolfinx_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    ps = sub.add_parser("solve", help="run a multigrid solve")
+    ps.add_argument("--reference-parity", action="store_true",
+                    help="the reference driver's exact config "
+                         "(Multigrid_prototype.py:35-46)")
+    ps.add_argument("--ndim", type=int, default=2, choices=(2, 3))
+    ps.add_argument("--degree", type=int, default=1, choices=(1, 2))
+    ps.add_argument("--rhs-const", type=float, default=None)
+    ps.add_argument("--diagonal", default="right", choices=("right", "left"))
+    ps.add_argument("--coarsest-elements", type=int, default=8)
+    ps.add_argument("--coarsest-level", type=int, default=1)
+    ps.add_argument("--finest-level", type=int, default=3)
+    ps.add_argument("--coarse-operator", default="rediscretize",
+                    choices=("rediscretize", "galerkin"))
+    ps.add_argument("--mu0", type=int, default=2)
+    ps.add_argument("--nu", type=int, default=2,
+                    help="pre/post smoothing sweeps")
+    ps.add_argument("--omega", type=float, default=2.0 / 3.0)
+    ps.add_argument("--smoother", default="rbgs",
+                    choices=("jacobi", "rbgs", "chebyshev"))
+    ps.add_argument("--cycle", default="V", choices=("V", "W", "F"))
+    ps.add_argument("--restriction", default="pt",
+                    choices=("injection", "full_weighting", "pt"))
+    ps.add_argument("--tol", type=float, default=1e-8)
+    ps.add_argument("--max-cycles", type=int, default=100)
+    ps.add_argument("--dtype", default="float32")
+    ps.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. cpu, tpu)")
+    ps.add_argument("--pallas", action="store_true",
+                    help="fused Pallas TPU kernels")
+    ps.add_argument("--mgcg", action="store_true",
+                    help="MG-preconditioned CG instead of plain V-cycles")
+    ps.add_argument("--fixed", action="store_true",
+                    help="fixed mu0 cycles at every level "
+                         "(reference FullMultiGrid_test)")
+    ps.add_argument("--csv", action="store_true",
+                    help="write reference-format CSV histories")
+    ps.add_argument("--csv-dir", default=".")
+    ps.add_argument("--checkpoint", default=None,
+                    help="save solver state to this .npz")
+    ps.set_defaults(rhs_const=None)
+    args = parser.parse_args(argv)
+
+    if args.command == "solve":
+        if args.rhs_const is None:
+            args.rhs_const = -6.0 if args.ndim == 2 else -12.0
+        return cmd_solve(args)
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

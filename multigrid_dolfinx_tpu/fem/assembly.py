@@ -75,18 +75,24 @@ def simplex_vertex_offsets(ndim: int, diagonal: str = "right") -> List[List[Offs
     raise ValueError(f"ndim must be 2 or 3, got {ndim}")
 
 
-def _element_matrices(ndim: int, h: float, voffs: List[Offset]):
-    """(stiffness, mass, volume, unit-kappa) element matrices for one simplex
-    of the scaled cell."""
+def _element_matrices(ndim: int, h: float, voffs: List[Offset],
+                      degree: int = 1):
+    """(stiffness, mass, volume) element matrices for one simplex of the
+    scaled cell (closed-form for P1, quadrature — still exact — for P2)."""
     pts = [tuple(c * h for c in v) for v in voffs]
-    if ndim == 2:
-        K = elements.p1_triangle_stiffness(*pts)
-        M = elements.p1_triangle_mass(*pts)
-        vol = elements.triangle_area(*pts)
-    else:
-        K = elements.p1_tet_stiffness(*pts)
-        M = elements.p1_tet_mass(*pts)
-        vol = elements.tet_volume(*pts)
+    if degree == 1:
+        if ndim == 2:
+            K = elements.p1_triangle_stiffness(*pts)
+            M = elements.p1_triangle_mass(*pts)
+            vol = elements.triangle_area(*pts)
+        else:
+            K = elements.p1_tet_stiffness(*pts)
+            M = elements.p1_tet_mass(*pts)
+            vol = elements.tet_volume(*pts)
+        return K, M, vol
+    K, M, vol = elements.simplex_element_matrices(
+        np.asarray(pts, dtype=np.float64), degree
+    )
     return K, M, vol
 
 
@@ -95,10 +101,15 @@ def _element_matrices(ndim: int, h: float, voffs: List[Offset]):
 # ----------------------------------------------------------------------
 
 class PlaneAccumulator:
-    """Accumulates element-matrix entries into {offset: plane} numpy arrays."""
+    """Accumulates element-matrix entries into {offset: plane} numpy arrays.
 
-    def __init__(self, shape: Tuple[int, ...]):
+    `stride` is the lattice spacing of element cells: 1 for P1 (nodes =
+    grid points), `degree` for higher order (nodes live on the refined
+    lattice; cell (i, j) anchors at lattice point (stride*i, stride*j))."""
+
+    def __init__(self, shape: Tuple[int, ...], stride: int = 1):
         self.shape = shape
+        self.stride = stride
         self.planes: Dict[Offset, np.ndarray] = {}
 
     def _plane(self, off: Offset) -> np.ndarray:
@@ -108,10 +119,12 @@ class PlaneAccumulator:
 
     def add(self, row_voff: Offset, col_voff: Offset, value, n: int):
         """Add `value` (scalar or (n,..,n) per-cell array) to the stencil
-        entry (node = cell + row_voff) -> (node + (col_voff - row_voff)),
-        for every cell of the n^d cell grid."""
+        entry (node = stride*cell + row_voff) ->
+        (node + (col_voff - row_voff)), for every cell of the n^d cell
+        grid.  Offsets are in lattice units."""
         off = tuple(c - r for r, c in zip(row_voff, col_voff))
-        slab = tuple(slice(r, r + n) for r in row_voff)
+        st = self.stride
+        slab = tuple(slice(r, r + st * (n - 1) + 1, st) for r in row_voff)
         self._plane(off)[slab] += value
 
     def finalize(self) -> Tuple[Tuple[Offset, ...], np.ndarray]:
@@ -177,6 +190,11 @@ class AssembledLevel:
     (Multigrid_prototype.py:62-118): A (BC-eliminated), raw A, full mass M,
     lifted RHS b, Dirichlet values g, and masks — but in stencil-plane grid
     form instead of PETSc CSR + coordinate dicts.
+
+    For degree > 1, `grid` is the DOF *lattice* (degree*n cells per dim):
+    P2 unknowns (vertices + edge midpoints) all live on the half-step
+    lattice, so downstream machinery (masks, transfers, coarse solve) is
+    degree-agnostic.
     """
 
     grid: GridLevel
@@ -206,14 +224,20 @@ def assemble_level(grid: GridLevel, problem: ProblemSpec) -> AssembledLevel:
       * `set_bc`: b <- uD at bc nodes (Multigrid_prototype.py:108).
     """
     ndim, n, h = grid.ndim, grid.n, grid.h
-    shape = grid.shape
+    degree = problem.degree
+    # DOF lattice: P1 -> the grid itself; P2 -> half-step lattice.
+    lat_grid = grid if degree == 1 else GridLevel(
+        level=grid.level, ndim=ndim, n=degree * n
+    )
+    shape = lat_grid.shape
     simplices = simplex_vertex_offsets(ndim, problem.diagonal)
+    node_fn = elements.simplex_nodes(ndim, degree)
 
     # Per-cell variable coefficient (evaluated at simplex centroids).
     kappa_fn = problem.kappa
 
-    accA = PlaneAccumulator(shape)
-    accM = PlaneAccumulator(shape)
+    accA = PlaneAccumulator(shape, stride=degree)
+    accM = PlaneAccumulator(shape, stride=degree)
     b = np.zeros(shape, dtype=np.float64)
 
     rhs_fn = problem.resolved_rhs()
@@ -225,8 +249,11 @@ def assemble_level(grid: GridLevel, problem: ProblemSpec) -> AssembledLevel:
     cell_origin = np.meshgrid(*cell_axes, indexing="ij")   # each (n,..,n)
 
     for voffs in simplices:
-        K, M, vol = _element_matrices(ndim, h, voffs)
+        K, M, vol = _element_matrices(ndim, h, voffs, degree)
         verts_phys = np.asarray([[c * h for c in v] for v in voffs])  # (d+1, d)
+        noffs = node_fn(voffs)                    # lattice offsets, nb nodes
+        nb = len(noffs)
+        phi_q = elements.nodal_basis_at(qbary, degree)     # (Q, nb)
 
         if kappa_fn is not None:
             centroid = verts_phys.mean(axis=0)
@@ -234,32 +261,34 @@ def assemble_level(grid: GridLevel, problem: ProblemSpec) -> AssembledLevel:
         else:
             kcell = 1.0
 
-        nv = ndim + 1
-        for a in range(nv):
-            for bb in range(nv):
-                accA.add(voffs[a], voffs[bb], K[a, bb] * kcell, n)
-                accM.add(voffs[a], voffs[bb], M[a, bb], n)
+        for a in range(nb):
+            for bb in range(nb):
+                accA.add(noffs[a], noffs[bb], K[a, bb] * kcell, n)
+                accM.add(noffs[a], noffs[bb], M[a, bb], n)
 
         # Load vector via quadrature (exact for the reference's constant f,
         # general enough for arbitrary smooth f).
+        st = degree
         for q in range(len(qw)):
             xq_local = qbary[q] @ verts_phys                 # (d,)
             xq = [co + xo for co, xo in zip(cell_origin, xq_local)]
             fq = rhs_fn(*xq)                                  # (n,..,n)
-            for a in range(nv):
-                slab = tuple(slice(r, r + n) for r in voffs[a])
-                b[slab] += vol * qw[q] * qbary[q, a] * fq
+            for a in range(nb):
+                slab = tuple(
+                    slice(r, r + st * (n - 1) + 1, st) for r in noffs[a]
+                )
+                b[slab] += vol * qw[q] * phi_q[q, a] * fq
 
     A_offsets, A_raw_planes = accA.finalize()
     M_offsets, M_planes = accM.finalize()
 
-    interior = grid.interior_mask()
+    interior = lat_grid.interior_mask()
     boundary = ~interior
 
     # Dirichlet values from the manufactured solution
     # (reference Multigrid_prototype.py:77-78).
     exact_fn = problem.resolved_exact()
-    coords = grid.coords()
+    coords = lat_grid.coords()
     g = np.where(boundary, exact_fn(*coords), 0.0)
 
     # apply_lifting + set_bc.
@@ -279,7 +308,7 @@ def assemble_level(grid: GridLevel, problem: ProblemSpec) -> AssembledLevel:
     A_planes[center] = np.where(boundary, 1.0, A_planes[center])
 
     return AssembledLevel(
-        grid=grid,
+        grid=lat_grid,
         offsets=A_offsets,
         A_planes=A_planes,
         A_raw_planes=A_raw_planes,

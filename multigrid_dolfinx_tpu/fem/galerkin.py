@@ -57,18 +57,22 @@ def prolongation_csr(
 
 
 def csr_to_stencil(
-    A: sp.csr_matrix, shape: Tuple[int, ...]
+    A: sp.csr_matrix, shape: Tuple[int, ...], radius: int = 1
 ) -> Tuple[Tuple[Tuple[int, ...], ...], np.ndarray]:
-    """Sparse matrix (on a structured grid, radius-1 coupling) -> stencil
-    planes.  Asserts no coupling beyond offset +-1 per axis."""
+    """Sparse matrix (on a structured grid, compact coupling) -> stencil
+    planes.  Asserts no coupling beyond +-radius per axis."""
     ndim = len(shape)
     coo = A.tocoo()
     row_coords = np.array(np.unravel_index(coo.row, shape))   # (d, nnz)
     col_coords = np.array(np.unravel_index(coo.col, shape))
     delta = col_coords - row_coords                            # (d, nnz)
-    if delta.size and np.abs(delta).max() > 1:
-        raise ValueError("operator has coupling beyond stencil radius 1")
-    offsets = sorted(itertools.product((-1, 0, 1), repeat=ndim))
+    if delta.size and np.abs(delta).max() > radius:
+        raise ValueError(
+            f"operator has coupling beyond stencil radius {radius}"
+        )
+    offsets = sorted(
+        itertools.product(range(-radius, radius + 1), repeat=ndim)
+    )
     planes = np.zeros((len(offsets),) + shape)
     key = {off: k for k, off in enumerate(offsets)}
     ks = np.array([key[tuple(d)] for d in delta.T], dtype=np.int64)
@@ -112,7 +116,12 @@ def galerkin_coarsen_hierarchy(
             A_c, (~coarse.interior).reshape(-1)
         )
         A_c.eliminate_zeros()
-        offsets, planes = csr_to_stencil(A_c, coarse.grid.shape)
+        fine_radius = max(
+            max(abs(c) for c in off) for off in fine.offsets
+        )
+        offsets, planes = csr_to_stencil(
+            A_c, coarse.grid.shape, radius=fine_radius
+        )
         center = offsets.index((0,) * ndim)
         out[i] = AssembledLevel(
             grid=coarse.grid,

@@ -54,9 +54,10 @@ class ErrorQuadrature:
     first, then squared.
 
     Static metadata (tuples, jit-cache friendly):
-      voffs[s][a]   : integer vertex offsets of simplex s within the cell
-      lambdas[s][q][a]: barycentric weight of vertex a at quad point q
+      voffs[s][a]   : integer *lattice* offsets of node a of simplex s
+      lambdas[s][q][a]: basis value phi_a at quad point q (P1: barycentric)
       vw[s][q]      : vol_s * w_q
+      stride        : lattice step between element cells (= degree)
     Device data:
       ustar: (S, Q, n, .., n) manufactured-solution values at the quad
              points of every cell.
@@ -66,6 +67,7 @@ class ErrorQuadrature:
     lambdas: tuple
     vw: tuple
     ustar: np.ndarray
+    stride: int = 1
 
 
 def error_functional(grid: GridLevel, problem: ProblemSpec) -> ErrorFunctional:
@@ -104,13 +106,17 @@ def error_functional(grid: GridLevel, problem: ProblemSpec) -> ErrorFunctional:
 
 def error_quadrature(grid: GridLevel, problem: ProblemSpec) -> ErrorQuadrature:
     """Precompute the per-quadrature-point error-norm data (see
-    ErrorQuadrature)."""
+    ErrorQuadrature).  `grid` is the *element* grid (n cells per dim); for
+    degree 2 the nodal slabs are strided over the DOF lattice."""
     ndim, n, h = grid.ndim, grid.n, grid.h
+    degree = problem.degree
     exact_fn = problem.resolved_exact()
     simplices = simplex_vertex_offsets(ndim, problem.diagonal)
+    node_fn = elements.simplex_nodes(ndim, degree)
     qbary, qw = (
         elements.triangle_quadrature() if ndim == 2 else elements.tet_quadrature()
     )
+    phi_q_all = elements.nodal_basis_at(qbary, degree)     # (Q, nb)
 
     cell_axes = [np.arange(n, dtype=np.float64) * h for _ in range(ndim)]
     cell_origin = np.meshgrid(*cell_axes, indexing="ij")
@@ -119,6 +125,7 @@ def error_quadrature(grid: GridLevel, problem: ProblemSpec) -> ErrorQuadrature:
     ustar = np.zeros((S, Q) + (n,) * ndim, dtype=np.float64)
     vws = []
     lambdas = []
+    noffs_all = []
     for s, voffs in enumerate(simplices):
         verts_phys = np.asarray([[cc * h for cc in v] for v in voffs])
         vol = (
@@ -126,17 +133,22 @@ def error_quadrature(grid: GridLevel, problem: ProblemSpec) -> ErrorQuadrature:
             if ndim == 2
             else elements.tet_volume(*verts_phys)
         )
+        noffs = node_fn(voffs)
+        nb = len(noffs)
+        noffs_all.append(tuple(tuple(v) for v in noffs))
         vws.append(tuple(float(vol * qw[q]) for q in range(Q)))
         lambdas.append(
-            tuple(tuple(float(qbary[q, a]) for a in range(ndim + 1)) for q in range(Q))
+            tuple(tuple(float(phi_q_all[q, a]) for a in range(nb))
+                  for q in range(Q))
         )
         for q in range(Q):
             xq_local = qbary[q] @ verts_phys
             xq = [co + xo for co, xo in zip(cell_origin, xq_local)]
             ustar[s, q] = exact_fn(*xq)
     return ErrorQuadrature(
-        voffs=tuple(tuple(tuple(v) for v in voffs) for voffs in simplices),
+        voffs=tuple(noffs_all),
         lambdas=tuple(lambdas),
         vw=tuple(vws),
         ustar=ustar,
+        stride=degree,
     )

@@ -64,6 +64,34 @@ def poisson3d(
     )
 
 
+def poisson2d_p2(
+    finest_level: int = 3,
+    coarsest_level: int = 1,
+    coarsest_elements: int = 8,
+    dtype: str = "float64",
+    cycle: Optional[CycleSpec] = None,
+    kappa: Optional[Callable] = None,
+) -> SolverConfig:
+    """P2 elements on the same triangulated square (BASELINE.json config 4:
+    'P2 with Galerkin RAR').  DOFs (vertices + edge midpoints) live on the
+    half-step lattice; coarse operators are Galerkin products.  The
+    reference's quadratic manufactured solution lies IN the P2 space, so
+    the discrete solution is exact up to solver tolerance."""
+    return SolverConfig(
+        problem=ProblemSpec(ndim=2, degree=2, rhs_const=-6.0, kappa=kappa),
+        hierarchy=HierarchySpec(
+            coarsest_elements=coarsest_elements,
+            coarsest_level=coarsest_level,
+            finest_level=finest_level,
+            coarse_operator="galerkin",
+        ),
+        cycle=cycle if cycle is not None else CycleSpec(
+            nu1=2, nu2=2, smoother="rbgs", restriction="pt",
+        ),
+        dtype=dtype,
+    )
+
+
 def variable_coefficient_2d(
     kappa: Callable,
     finest_level: int = 3,

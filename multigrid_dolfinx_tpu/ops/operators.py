@@ -195,11 +195,11 @@ def detect_const_stencil(
     if not interior.any():
         return None
     weights = []
+    rmax = max(max(abs(c) for c in off) for off in offsets)
+    ipad = np.pad(interior, rmax, constant_values=False)
     for k, off in enumerate(offsets):
         # interior mask of the neighbor p+off (out-of-range -> False)
-        r = max(abs(c) for c in off) if off != zero else 0
-        ipad = np.pad(interior, 1, constant_values=False)
-        sl = tuple(slice(1 + o, 1 + o + s) for o, s in zip(off, shape))
+        sl = tuple(slice(rmax + o, rmax + o + s) for o, s in zip(off, shape))
         nbr_int = ipad[sl]
         sample = interior & nbr_int
         if sample.any():

@@ -48,14 +48,17 @@ class SmootherData:
     cheby_eig_ratio: float
 
 
-def color_mask(shape: Tuple[int, ...], parity: Tuple[int, ...]) -> jnp.ndarray:
-    """Coordinate-parity mask, computed on the fly from iota (no stored mask
-    arrays — free at any grid size).  The 2^d parity classes are independent
-    sets for any stencil of radius 1, so masked simultaneous updates are
-    exact Gauss-Seidel and race-free by construction (SURVEY.md §5)."""
+def color_mask(shape: Tuple[int, ...], parity: Tuple[int, ...],
+               modulus: int = 2) -> jnp.ndarray:
+    """Coordinate-residue mask, computed on the fly from iota (no stored
+    mask arrays — free at any grid size).  The modulus^d residue classes
+    are independent sets for any stencil of radius modulus-1, so masked
+    simultaneous updates are exact Gauss-Seidel and race-free by
+    construction (SURVEY.md §5); radius-1 stencils use modulus 2 (the
+    classic 2^d coloring), radius-2 (P2) stencils modulus 3."""
     m = None
     for axis, p in enumerate(parity):
-        g = (jax.lax.broadcasted_iota(jnp.int32, shape, axis) % 2) == p
+        g = (jax.lax.broadcasted_iota(jnp.int32, shape, axis) % modulus) == p
         m = g if m is None else m & g
     return m
 
@@ -112,12 +115,13 @@ def multicolor_gs_smooth(
     Axis-only stencils (5-/7-point) use true red-black (2 colors); general
     radius-1 stencils use the 2^d coordinate-parity classes."""
     d = v.ndim
-    if A.axis_only:
+    if A.axis_only and A.radius == 1:
         masks = [partial(sum_parity_mask, parity=p) for p in (0, 1)]
     else:
+        mod = A.radius + 1
         masks = [
-            partial(color_mask, parity=p)
-            for p in itertools.product((0, 1), repeat=d)
+            partial(color_mask, parity=p, modulus=mod)
+            for p in itertools.product(range(mod), repeat=d)
         ]
 
     def sweep(_, v):

@@ -60,13 +60,22 @@ def error_norm(hier: Hierarchy, u: jax.Array) -> jax.Array:
     assemble_scalar but without the catastrophic cancellation of the
     expanded u^T M u - 2 c^T u + d form."""
     eq = hier.err_quad
-    ncells = tuple(s - 1 for s in u.shape)   # per-axis (padding may differ)
+    st = eq.stride
+    if st == 1:
+        # per-axis cell counts from the (possibly padded) array itself:
+        # padding cells contribute exactly zero (zero u, zero ustar)
+        ncells = tuple(s - 1 for s in u.shape)
+    else:
+        ncells = tuple(eq.ustar.shape[2:])
     acc = None
     for s, voffs in enumerate(eq.voffs):
         for q, vw in enumerate(eq.vw[s]):
             interp = None
             for a, voff in enumerate(voffs):
-                slab = tuple(slice(v, v + nc) for v, nc in zip(voff, ncells))
+                slab = tuple(
+                    slice(v, v + st * (nc - 1) + 1, st)
+                    for v, nc in zip(voff, ncells)
+                )
                 term = eq.lambdas[s][q][a] * u[slab]
                 interp = term if interp is None else interp + term
             sl = tuple(slice(0, d) for d in interp.shape)
@@ -76,7 +85,7 @@ def error_norm(hier: Hierarchy, u: jax.Array) -> jax.Array:
     return jnp.sqrt(jnp.maximum(acc, 0.0))
 
 
-def _tolerance_loop(
+def tolerance_solve(
     hier: Hierarchy, spec: CycleSpec, v0: jax.Array, f: jax.Array
 ) -> SolveResult:
     """V-cycle until residual <= tol, with history recording — the
@@ -171,7 +180,7 @@ def fmg_solve(
                 else:
                     v = out
         else:
-            result = _tolerance_loop(hier, spec, v, f)
+            result = tolerance_solve(hier, spec, v, f)
             return (result, debug) if collect_debug else result
 
     # fixed mode: compute final norms once for telemetry.
@@ -192,6 +201,21 @@ def fmg_solve(
         diverged=~jnp.isfinite(rn),
     )
     return (result, debug) if collect_debug else result
+
+
+def resume_solve(hier: Hierarchy, spec: CycleSpec, v0) -> SolveResult:
+    """Continue V-cycling from a previous iterate (e.g. a loaded
+    checkpoint) until tolerance — the resume path the reference lacks
+    (SURVEY.md §5)."""
+    return _jitted_resume(spec)(hier, jnp.asarray(v0))
+
+
+@lru_cache(maxsize=64)
+def _jitted_resume(spec: CycleSpec):
+    def run(hier, v0):
+        return tolerance_solve(hier, spec, v0, hier.finest.b)
+
+    return jax.jit(run)
 
 
 @lru_cache(maxsize=128)

@@ -60,18 +60,19 @@ class Level:
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["ustar"],
-    meta_fields=["voffs", "lambdas", "vw"],
+    meta_fields=["voffs", "lambdas", "vw", "stride"],
 )
 @dataclasses.dataclass(frozen=True)
 class ErrorQuad:
     """Device-resident error-norm quadrature data (see
     fem.norms.ErrorQuadrature): ustar holds u*(x_q) per (simplex, quad
-    point, cell); voffs/lambdas/vw are static tuples."""
+    point, cell); voffs/lambdas/vw/stride are static."""
 
     ustar: jax.Array
     voffs: tuple
     lambdas: tuple
     vw: tuple
+    stride: int = 1
 
 
 @partial(
@@ -267,5 +268,6 @@ def build_hierarchy(
             voffs=eq.voffs,
             lambdas=eq.lambdas,
             vw=eq.vw,
+            stride=eq.stride,
         ),
     )

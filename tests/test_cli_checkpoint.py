@@ -1,0 +1,92 @@
+"""CLI, checkpoint/resume, and profiling-utility tests."""
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from multigrid_dolfinx_tpu import build_hierarchy, models, solve
+from multigrid_dolfinx_tpu.config import CycleSpec
+from multigrid_dolfinx_tpu.solver.fmg import resume_solve
+from multigrid_dolfinx_tpu.utils.checkpoint import (
+    config_fingerprint,
+    load_checkpoint,
+    save_checkpoint,
+)
+
+
+def test_checkpoint_roundtrip_and_resume(tmp_path):
+    cyc = CycleSpec(nu1=1, nu2=1, restriction="pt", tol=1e-10, max_cycles=40)
+    cfg = models.poisson2d(finest_level=3, cycle=cyc)
+    hier = build_hierarchy(cfg)
+
+    # run to a loose tolerance, checkpoint, then resume to a tight one
+    loose = CycleSpec(nu1=1, nu2=1, restriction="pt", tol=1e-4, max_cycles=40)
+    r1 = solve(hier, loose, mode="tol")
+    assert bool(r1.converged)
+    p = save_checkpoint(tmp_path / "state.npz", cfg, r1)
+    u, res_h, err_h, k, conv = load_checkpoint(p, cfg)
+    assert conv and k == int(r1.num_cycles)
+
+    r2 = resume_solve(hier, cyc, u)
+    assert bool(r2.converged)
+    # resumed solve should need fewer cycles than from-scratch
+    r_full = solve(hier, cyc, mode="tol")
+    assert int(r2.num_cycles) <= int(r_full.num_cycles)
+    # and reach the same solution
+    np.testing.assert_allclose(
+        np.asarray(r2.u), np.asarray(r_full.u), rtol=1e-8, atol=1e-10
+    )
+
+
+def test_checkpoint_rejects_wrong_problem(tmp_path):
+    cfg_a = models.poisson2d(finest_level=3)
+    cfg_b = models.poisson2d(finest_level=4)
+    assert config_fingerprint(cfg_a) != config_fingerprint(cfg_b)
+    hier = build_hierarchy(cfg_a)
+    loose = CycleSpec(tol=1e-4, max_cycles=5, nu1=1, nu2=1, restriction="pt")
+    r = solve(hier, loose, mode="tol")
+    p = save_checkpoint(tmp_path / "s.npz", cfg_a, r)
+    with pytest.raises(ValueError):
+        load_checkpoint(p, cfg_b)
+
+
+def test_cli_solve_json_and_csv(tmp_path):
+    cmd = [
+        sys.executable, "-m", "multigrid_dolfinx_tpu", "solve",
+        "--finest-level", "2", "--coarsest-level", "1",
+        "--nu", "2", "--smoother", "rbgs", "--restriction", "pt",
+        "--tol", "1e-8", "--dtype", "float64", "--platform", "cpu",
+        "--csv", "--csv-dir", str(tmp_path),
+    ]
+    env = {"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin:/usr/local/bin"}
+    import os
+
+    env.update({k: v for k, v in os.environ.items()
+                if k not in ("JAX_PLATFORMS",)})
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                         cwd=str(Path(__file__).parent.parent), timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    payload = json.loads(out.stdout.strip().splitlines()[-1])
+    assert payload["converged"] is True
+    assert payload["final_residual"] <= 1e-8
+    assert (tmp_path / "residual_for_32_2_levels.csv").exists()
+    assert (tmp_path / "error_for_32_2_levels.csv").exists()
+    assert (tmp_path / "iter_count_for_diff_num_elems_2_levels.csv").exists()
+
+
+def test_phase_timer():
+    from multigrid_dolfinx_tpu.utils.profiling import PhaseTimer
+
+    t = PhaseTimer()
+    with t.phase("setup"):
+        sum(range(1000))
+    with t.phase("setup"):
+        sum(range(1000))
+    s = t.summary()
+    assert s["setup"]["calls"] == 2
+    assert s["setup"]["seconds"] >= 0.0
+    assert t.dofs_per_second("setup", 100) > 0

@@ -1,0 +1,79 @@
+"""P2 elements on the half-step DOF lattice (BASELINE.json config 4).
+
+The reference's manufactured solution u* = 1 + x^2 + 2y^2 lies IN the P2
+space, so the P2 discrete solution equals u* at every node up to solver
+tolerance — a very sharp oracle.
+"""
+import numpy as np
+import pytest
+
+from multigrid_dolfinx_tpu import build_hierarchy, models, solve
+from multigrid_dolfinx_tpu.config import CycleSpec, ProblemSpec
+from multigrid_dolfinx_tpu.fem import assembly as fa
+from multigrid_dolfinx_tpu.mesh import GridLevel
+
+
+def test_p2_assembly_golden():
+    grid = GridLevel(level=0, ndim=2, n=4)
+    problem = ProblemSpec(ndim=2, degree=2)
+    asm = fa.assemble_level(grid, problem)
+    # DOF lattice is (2n+1)^2
+    assert asm.grid.shape == (9, 9)
+    # radius-2 stencil
+    assert max(max(abs(c) for c in off) for off in asm.offsets) == 2
+    A = fa.stencil_to_csr(asm.offsets, asm.A_planes)
+    assert abs(A - A.T).max() < 1e-12
+    # raw stiffness annihilates constants
+    Araw = fa.stencil_to_csr(asm.offsets, asm.A_raw_planes)
+    ones = np.ones(Araw.shape[0])
+    assert np.abs(Araw @ ones).max() < 1e-12
+    # P2 energy of the nodal interpolant of u* = 1 + x^2 + 2y^2 is exact:
+    # int |grad u*|^2 = int (2x)^2 + (4y)^2 = 4/3 + 16/3 = 20/3
+    x, y = asm.grid.coords()
+    u = (1.0 + x ** 2 + 2.0 * y ** 2).reshape(-1)
+    assert u @ (Araw @ u) == pytest.approx(20.0 / 3.0, rel=1e-12)
+    # mass integrates exactly: total = area, and u^T M u = int (u*)^2 = 40/9
+    M = fa.stencil_to_csr(asm.M_offsets, asm.M_planes)
+    assert ones @ (M @ ones) == pytest.approx(1.0, rel=1e-12)
+    assert u @ (M @ u) == pytest.approx(40.0 / 9.0, rel=1e-12)
+
+
+def test_p2_direct_solve_is_exact_for_quadratic():
+    """P2 + the quadratic manufactured solution: the discrete solution IS
+    u* at the nodes (Galerkin exactness)."""
+    from scipy.sparse.linalg import spsolve
+
+    grid = GridLevel(level=0, ndim=2, n=8)
+    problem = ProblemSpec(ndim=2, degree=2)
+    asm = fa.assemble_level(grid, problem)
+    A = fa.stencil_to_csr(asm.offsets, asm.A_planes)
+    u = spsolve(A.tocsc(), asm.b.reshape(-1))
+    x, y = asm.grid.coords()
+    ustar = (1.0 + x ** 2 + 2.0 * y ** 2).reshape(-1)
+    np.testing.assert_allclose(u, ustar, rtol=1e-10, atol=1e-11)
+
+
+def test_p2_multigrid_converges_to_exact():
+    cfg = models.poisson2d_p2(finest_level=3, coarsest_level=1)
+    hier = build_hierarchy(cfg)
+    cyc = cfg.cycle
+    res = solve(hier, cyc, mode="tol")
+    assert bool(res.converged)
+    assert int(res.num_cycles) < 40
+    # error norm vs u* must sit at solver tolerance, NOT at a
+    # discretization floor (u* is in the P2 space)
+    k = int(res.num_cycles)
+    final_err = float(np.asarray(res.err_hist)[k - 1])
+    assert final_err < 1e-8
+
+
+def test_p2_variable_coefficient_converges():
+    kappa = lambda x, y: 1.0 + 4.0 * x * y
+    cyc = CycleSpec(nu1=3, nu2=3, smoother="rbgs", restriction="pt",
+                    tol=1e-9, max_cycles=60)
+    cfg = models.poisson2d_p2(finest_level=3, coarsest_level=1,
+                              cycle=cyc, kappa=kappa)
+    hier = build_hierarchy(cfg)
+    res = solve(hier, cfg.cycle, mode="tol")
+    assert bool(res.converged)
+    assert int(res.num_cycles) < 40
