@@ -125,6 +125,7 @@ class CycleSpec:
     prolongation: str = "bilinear"       # 'bilinear' (reference) | 'p1' (nested embedding)
     coarse_solver: str = "cholesky"      # 'cholesky' | 'inverse' | 'lu'
     tol: float = 1e-11             # on the mass-weighted (FEM-L2) residual norm
+    rtol: float = 0.0              # also stop at rtol * (first-cycle residual)
     max_cycles: int = 100          # guard the reference's unbounded while-True
     check_every: int = 1
     # Fused Pallas TPU kernels for the hot ops (requires/implies padded

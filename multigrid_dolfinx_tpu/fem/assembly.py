@@ -128,13 +128,26 @@ class PlaneAccumulator:
         self._plane(off)[slab] += value
 
     def finalize(self) -> Tuple[Tuple[Offset, ...], np.ndarray]:
-        """Sorted (offsets, planes-array) with all-zero planes dropped and the
-        center offset guaranteed present."""
+        """Sorted (offsets, planes-array) with (numerically) zero planes
+        dropped and the center offset guaranteed present.  The prune uses a
+        relative threshold: couplings that cancel exactly in exact
+        arithmetic (e.g. the diagonal couplings of the isotropic Kuhn-tet
+        Laplacian) leave ~1e-17 summation dust that must not survive as
+        spurious stencil legs."""
         zero = (0,) * len(self.shape)
         self._plane(zero)
+        scale = max(
+            (np.abs(p).max() for p in self.planes.values()), default=1.0
+        )
+        tol = 1e-13 * max(scale, 1e-300)
         offs = sorted(self.planes.keys())
-        offs = [o for o in offs if o == zero or np.any(self.planes[o] != 0.0)]
+        offs = [
+            o for o in offs
+            if o == zero or np.abs(self.planes[o]).max() > tol
+        ]
         planes = np.stack([self.planes[o] for o in offs], axis=0)
+        # zero out the dust inside kept planes as well
+        planes[np.abs(planes) <= tol] = 0.0
         return tuple(offs), planes
 
 
@@ -236,6 +249,54 @@ def assemble_level(grid: GridLevel, problem: ProblemSpec) -> AssembledLevel:
     # Per-cell variable coefficient (evaluated at simplex centroids).
     kappa_fn = problem.kappa
 
+    # Native (C++) fast path for P1 with constant RHS — the equivalent of
+    # the reference's dolfinx/C++ assembly core (see csrc/assembler.cpp);
+    # falls back to the vectorized numpy path below.
+    if degree == 1 and problem.rhs is None and problem.rhs_const is not None:
+        from . import native
+
+        kappa_cells = None
+        if kappa_fn is not None:
+            cell_axes_k = [np.arange(n) * h for _ in range(ndim)]
+            orig = np.meshgrid(*cell_axes_k, indexing="ij")
+            per_simplex = []
+            for voffs in simplices:
+                centroid = np.asarray(
+                    [[c * h for c in v] for v in voffs]
+                ).mean(axis=0)
+                per_simplex.append(
+                    kappa_fn(*[o + cc for o, cc in zip(orig, centroid)])
+                    + np.zeros((n,) * ndim)
+                )
+            kappa_cells = np.stack(per_simplex, axis=0)
+        out = native.native_assemble_p1(
+            ndim, n, h, problem.diagonal, kappa_cells, problem.rhs_const
+        )
+        if out is not None:
+            planes_full, massp_full, b = out
+            full_offsets = sorted(
+                itertools.product((-1, 0, 1), repeat=ndim)
+            )
+            zero_off = (0,) * ndim
+
+            def _prune(planes):
+                scale = max(np.abs(planes).max(), 1e-300)
+                tol = 1e-13 * scale
+                keep = [
+                    k for k, off in enumerate(full_offsets)
+                    if off == zero_off or np.abs(planes[k]).max() > tol
+                ]
+                kept = planes[keep]
+                kept[np.abs(kept) <= tol] = 0.0
+                return tuple(full_offsets[k] for k in keep), kept
+
+            A_offsets, A_raw_planes = _prune(planes_full)
+            M_offsets, M_planes = _prune(massp_full)
+            return _finish_level(
+                lat_grid, problem, A_offsets, A_raw_planes,
+                M_offsets, M_planes, b,
+            )
+
     accA = PlaneAccumulator(shape, stride=degree)
     accM = PlaneAccumulator(shape, stride=degree)
     b = np.zeros(shape, dtype=np.float64)
@@ -281,7 +342,24 @@ def assemble_level(grid: GridLevel, problem: ProblemSpec) -> AssembledLevel:
 
     A_offsets, A_raw_planes = accA.finalize()
     M_offsets, M_planes = accM.finalize()
+    return _finish_level(
+        lat_grid, problem, A_offsets, A_raw_planes, M_offsets, M_planes, b
+    )
 
+
+def _finish_level(
+    lat_grid: GridLevel,
+    problem: ProblemSpec,
+    A_offsets,
+    A_raw_planes: np.ndarray,
+    M_offsets,
+    M_planes: np.ndarray,
+    b: np.ndarray,
+) -> AssembledLevel:
+    """Shared tail of assembly: Dirichlet values, lifting, set_bc, and
+    symmetric elimination (dolfinx semantics, see assemble_level)."""
+    ndim = lat_grid.ndim
+    shape = lat_grid.shape
     interior = lat_grid.interior_mask()
     boundary = ~interior
 

@@ -18,6 +18,10 @@ from .operators import StencilOperator
 
 POISSON5_2D_OFFSETS = ((-1, 0), (0, -1), (0, 0), (0, 1), (1, 0))
 POISSON5_2D_WEIGHTS = (-1.0, -1.0, 4.0, -1.0, -1.0)
+POISSON7_3D_OFFSETS = (
+    (-1, 0, 0), (0, -1, 0), (0, 0, -1), (0, 0, 0),
+    (0, 0, 1), (0, 1, 0), (1, 0, 0),
+)
 
 
 def interpret_mode() -> bool:
@@ -25,16 +29,35 @@ def interpret_mode() -> bool:
 
 
 def layout_aligned(shape: Tuple[int, ...]) -> bool:
-    return len(shape) == 2 and shape[0] % 8 == 0 and shape[1] % 128 == 0
+    """Last two dims on (8, 128) tile boundaries (leading dims are free)."""
+    if len(shape) < 2:
+        return False
+    return shape[-2] % 8 == 0 and shape[-1] % 128 == 0
+
+
+def const7_weights(A: StencilOperator):
+    """(wc, woff) of an isotropic const-7-point operator, or None."""
+    if A.offsets != POISSON7_3D_OFFSETS or A.const_weights is None:
+        return None
+    w = A.const_weights
+    center = A.center_index()
+    offs = [w[k] for k in range(7) if k != center]
+    if not all(abs(o - offs[0]) < 1e-12 * abs(w[center]) for o in offs):
+        return None
+    return float(w[center]), float(offs[0])
 
 
 def pallas_eligible(A: StencilOperator, shape: Tuple[int, ...], dtype) -> bool:
-    """Can the fused const-5 2D kernels handle this operator/layout?"""
-    return (
-        A.is_const
-        and A.logical_m is not None
-        and A.offsets == POISSON5_2D_OFFSETS
-        and tuple(A.const_weights) == POISSON5_2D_WEIGHTS
-        and layout_aligned(shape)
-        and jnp.dtype(dtype) == jnp.float32
-    )
+    """Can the fused const-stencil kernels handle this operator/layout?"""
+    if not (A.is_const and A.logical_m is not None):
+        return False
+    if jnp.dtype(dtype) != jnp.float32 or not layout_aligned(shape):
+        return False
+    if len(shape) == 2:
+        return (
+            A.offsets == POISSON5_2D_OFFSETS
+            and tuple(A.const_weights) == POISSON5_2D_WEIGHTS
+        )
+    if len(shape) == 3:
+        return shape[0] >= 3 and const7_weights(A) is not None
+    return False

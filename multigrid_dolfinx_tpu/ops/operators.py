@@ -55,7 +55,8 @@ def _shifted(up: jax.Array, off: Offset, shape, r: int) -> jax.Array:
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["planes"],
-    meta_fields=["offsets", "const_weights", "logical_m", "boundary_mode"],
+    meta_fields=["offsets", "const_weights", "logical_m", "boundary_mode",
+                 "grid_shape"],
 )
 @dataclasses.dataclass(frozen=True)
 class StencilOperator:
@@ -69,6 +70,10 @@ class StencilOperator:
     fast path and never reads `planes`.  boundary_mode says what the
     non-interior rows do: 'identity' (Dirichlet-eliminated stiffness) or
     'zero' (R_omega = Dinv(A-D), whose bc rows vanish).
+
+    At scale, const operators drop their planes entirely (planes=None,
+    grid_shape carries the shape): a 7-point operator on a 100M-point grid
+    then costs zero HBM.
     """
 
     planes: Optional[jax.Array]
@@ -76,6 +81,7 @@ class StencilOperator:
     const_weights: Optional[Tuple[float, ...]] = None
     logical_m: Optional[int] = None
     boundary_mode: str = "identity"
+    grid_shape: Optional[Tuple[int, ...]] = None
 
     @property
     def ndim(self) -> int:
@@ -83,7 +89,9 @@ class StencilOperator:
 
     @property
     def shape(self) -> Tuple[int, ...]:
-        return tuple(self.planes.shape[1:])
+        if self.planes is not None:
+            return tuple(self.planes.shape[1:])
+        return tuple(self.grid_shape)
 
     @property
     def radius(self) -> int:
@@ -107,7 +115,28 @@ class StencilOperator:
         return self.offsets.index((0,) * self.ndim)
 
     def diag(self) -> jax.Array:
+        if self.planes is None:
+            w = self.const_weights[self.center_index()]
+            interior = box_interior_mask(self.shape, self.logical_m)
+            return jnp.where(interior, w, 1.0)
         return self.planes[self.center_index()]
+
+    def dinv(self) -> jax.Array:
+        """1 / diag — for plane-free const operators this is synthesized
+        from iota masks (no memory)."""
+        if self.planes is None:
+            w = self.const_weights[self.center_index()]
+            interior = box_interior_mask(self.shape, self.logical_m)
+            return jnp.where(interior, 1.0 / w, 1.0)
+        return 1.0 / self.planes[self.center_index()]
+
+    def drop_planes(self) -> "StencilOperator":
+        """Release the planes of a const operator (keeps shape metadata)."""
+        if not self.is_const:
+            raise ValueError("cannot drop planes of a non-const operator")
+        return dataclasses.replace(
+            self, planes=None, grid_shape=self.shape
+        )
 
     # ------------------------------------------------------------------
 

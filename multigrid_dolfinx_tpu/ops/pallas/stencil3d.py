@@ -1,0 +1,394 @@
+"""Pallas TPU kernels for the 3D const-7-point multigrid ops.
+
+Same speed-of-light philosophy as stencil2d (one HBM pass per array per
+sweep, iota masks, no index traffic), but the 3D layout is friendlier: TPU
+tiling constrains only the last two dims (y, x), so z is a free leading
+axis — kernels block over z-slabs, z-neighbors are static slab slices of
+the DMA window, and y/x neighbors are sublane/lane rolls within a slab.
+
+The isotropic Kuhn-tetrahedra P1 Laplacian reduces exactly to the 7-point
+stencil (diagonal couplings cancel — verified against the assembled
+operator in tests), with weights scaling as h; kernels take the center/
+off-axis weights as compile-time immediates.
+
+Arrays are padded to (8k_z, 8k_y, 128k_x); the logical grid is the leading
+(lm)^3 corner with inert zero padding.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .stencil2d import _roll
+
+
+def _masks3(z0, shape, lm):
+    """(interior, inbox) for a window whose global z of slab s is z0 + s."""
+    z = z0 + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    y = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    x = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    interior = (
+        (z >= 1) & (z <= lm - 2)
+        & (y >= 1) & (y <= lm - 2)
+        & (x >= 1) & (x <= lm - 2)
+    )
+    return z, y, x, interior
+
+
+def _neighbor_sum3(vt):
+    """7-point neighbor sum over a (3, My, Mx) window for the CENTER slab:
+    z+-1 are slabs 0/2; y/x are rolls within slab 1 (wrap entries land on
+    non-interior rows/lanes and are masked by the caller's interior
+    logic)."""
+    c = vt[1]
+    return (
+        vt[0] + vt[2]
+        + _roll(c, 1, 0) + _roll(c, -1, 0)
+        + _roll(c, 1, 1) + _roll(c, -1, 1)
+    )
+
+
+def _gs_candidate(f, s, interior_c, wc, woff):
+    """GS/Jacobi update value: (f + |w| * S)/wc on the interior, f on
+    bc/padding rows (padding f = 0 keeps padding at 0)."""
+    return jnp.where(interior_c, (f + (-woff) * s) / wc, f)
+
+
+def _pick_tz(Mz: int, My: int, Mx: int, itemsize: int = 4) -> int:
+    """Output z-slabs per program: big enough to amortize the 2-slab halo,
+    small enough that window + f + out + intermediates stay within the
+    VMEM budget."""
+    slab = My * Mx * itemsize
+    budget = 56 * 1024 * 1024
+    for tz in (4, 2, 1):
+        if Mz % tz == 0 and (4 * tz + 6) * slab <= budget:
+            return tz
+    return 1
+
+
+def _window_kernel(body):
+    """Shared z-slab window plumbing: DMA a (tz + 2)-slab window of v
+    around the tz output slabs, compute per window slab, select the output
+    range by static branch (window offset is 0/1/2 after clamping)."""
+
+    def kernel(v_hbm, f_hbm, out_ref, vwin, fwin, sems, *, Mz, My, Mx, lm,
+               tz, **kw):
+        i = pl.program_id(0)
+        ws = tz + 2
+        r0 = i * tz
+        z0 = jnp.clip(r0 - 1, 0, Mz - ws)
+        cpv = pltpu.make_async_copy(
+            v_hbm.at[pl.ds(z0, ws), :, :], vwin, sems.at[0]
+        )
+        cpf = pltpu.make_async_copy(
+            f_hbm.at[pl.ds(z0, ws), :, :], fwin, sems.at[1]
+        )
+        cpv.start()
+        cpf.start()
+        cpv.wait()
+        cpf.wait()
+        v = vwin[:]
+        f = fwin[:]
+        res = body(v, f, z0, (ws, My, Mx), lm, **kw)   # list of ws planes
+        o = r0 - z0                                     # 0, 1, or 2
+
+        for oc in (0, 1, 2):
+            @pl.when(o == oc)
+            def _(oc=oc):
+                for sl in range(tz):
+                    out_ref[sl] = res[oc + sl]
+
+    return kernel
+
+
+def _call_windowed(body, v, f, lm, interpret, **kw):
+    Mz, My, Mx = v.shape
+    tz = _pick_tz(Mz, My, Mx)
+    ws = tz + 2
+    kernel = functools.partial(
+        _window_kernel(body), Mz=Mz, My=My, Mx=Mx, lm=lm, tz=tz, **kw
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(Mz // tz,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((tz, My, Mx), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(v.shape, v.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((ws, My, Mx), v.dtype),
+            pltpu.VMEM((ws, My, Mx), v.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(v, f)
+
+
+def _center_of_window(z0, shape3, lm):
+    """Masks for each slab of the 3-slab window (vector over slabs)."""
+    return _masks3(z0, shape3, lm)
+
+
+# ----------------------------------------------------------------------
+# Sweeps
+# ----------------------------------------------------------------------
+
+def _half_rb_body(v, f, z0, shape3, lm, *, wc, woff, parity):
+    ws = shape3[0]
+    _, _, _, interior = _masks3(z0, shape3, lm)
+    vt = jnp.where(interior, v, jnp.zeros_like(v))
+    # static in-plane parity vs a dynamic per-slab target (z0 is traced;
+    # Mosaic dislikes % on the dynamically-offset 3D iota)
+    plane_shape = shape3[1:]
+    ypx = (
+        jax.lax.broadcasted_iota(jnp.int32, plane_shape, 0)
+        + jax.lax.broadcasted_iota(jnp.int32, plane_shape, 1)
+    ) % 2
+    out_slabs = []
+    for s in range(ws):
+        # neighbor sum for slab s: z-neighbors are slabs s-1, s+1 (window-
+        # edge wraps only reach non-interior rows and are masked)
+        lo = vt[s - 1] if s > 0 else vt[ws - 1]
+        hi = vt[s + 1] if s < ws - 1 else vt[0]
+        c = vt[s]
+        ssum = (
+            lo + hi
+            + _roll(c, 1, 0) + _roll(c, -1, 0)
+            + _roll(c, 1, 1) + _roll(c, -1, 1)
+        )
+        cand = _gs_candidate(f[s], ssum, interior[s], wc, woff)
+        target = (parity + z0 + s) % 2          # scalar (traced)
+        color = ypx == target
+        out_slabs.append(jnp.where(color, cand, v[s]))
+    return out_slabs
+
+
+def rb_half_sweep(v, f, lm, wc, woff, parity, interpret=False):
+    """One red or black half-sweep of Gauss-Seidel on the 7-point const
+    stencil (center weight wc, off-axis weight woff < 0)."""
+    return _call_windowed(
+        _half_rb_body, v, f, lm, interpret,
+        wc=float(wc), woff=float(woff), parity=int(parity),
+    )
+
+
+def _jacobi_body(v, f, z0, shape3, lm, *, wc, woff, omega):
+    ws = shape3[0]
+    _, _, _, interior = _masks3(z0, shape3, lm)
+    vt = jnp.where(interior, v, jnp.zeros_like(v))
+    outs = []
+    for s in range(ws):
+        lo = vt[s - 1] if s > 0 else vt[ws - 1]
+        hi = vt[s + 1] if s < ws - 1 else vt[0]
+        c = vt[s]
+        ssum = (
+            lo + hi
+            + _roll(c, 1, 0) + _roll(c, -1, 0)
+            + _roll(c, 1, 1) + _roll(c, -1, 1)
+        )
+        cand = _gs_candidate(f[s], ssum, interior[s], wc, woff)
+        outs.append((1.0 - omega) * v[s] + omega * cand)
+    return outs
+
+
+def jacobi_sweep(v, f, lm, wc, woff, omega, interpret=False):
+    """One weighted-Jacobi sweep: v' = (1-w) v + w D^-1 (f - (A - D) v),
+    reference association (multigrid.py:223-228) on the const-7 stencil."""
+    return _call_windowed(
+        _jacobi_body, v, f, lm, interpret,
+        wc=float(wc), woff=float(woff), omega=float(omega),
+    )
+
+
+def _residual_body(v, f, z0, shape3, lm, *, wc, woff):
+    ws = shape3[0]
+    _, _, _, interior = _masks3(z0, shape3, lm)
+    vt = jnp.where(interior, v, jnp.zeros_like(v))
+    outs = []
+    for s in range(ws):
+        lo = vt[s - 1] if s > 0 else vt[ws - 1]
+        hi = vt[s + 1] if s < ws - 1 else vt[0]
+        c = vt[s]
+        ssum = (
+            lo + hi
+            + _roll(c, 1, 0) + _roll(c, -1, 0)
+            + _roll(c, 1, 1) + _roll(c, -1, 1)
+        )
+        av = jnp.where(interior[s], wc * c + woff * ssum, v[s])
+        outs.append(f[s] - av)
+    return outs
+
+
+def residual(v, f, lm, wc, woff, interpret=False):
+    """Fused r = f - A v for the const-7 operator."""
+    return _call_windowed(
+        _residual_body, v, f, lm, interpret, wc=float(wc), woff=float(woff)
+    )
+
+
+# ----------------------------------------------------------------------
+# Transfers
+# ----------------------------------------------------------------------
+
+def _plane_restrict(g, lmf, lmc, Wc_out):
+    """In-plane (y, x) part of P^T restriction of one fine z-plane
+    (already interior-masked and z-combined): [1 2 1] in y with even-row
+    sampling (sublane reshape), then in x via the transpose trick."""
+    Myf, Mxf = g.shape
+    rows = _roll(g, 1, 0) + 2.0 * g + _roll(g, -1, 0)
+    ev_rows = rows.reshape(Myf // 2, 2, Mxf)[:, 0, :]       # y = 2j
+    cols = _roll(ev_rows, 1, 1) + 2.0 * ev_rows + _roll(ev_rows, -1, 1)
+    ct = cols.T                                             # (Mxf, Myf//2)
+    ev = ct.reshape(Mxf // 2, 2, Myf // 2)[:, 0, :].T       # (Myf//2, Mxf//2)
+    Myc, Mxc2 = ev.shape
+    if Mxc2 >= Wc_out:
+        return ev[:, :Wc_out]
+    return jnp.concatenate(
+        [ev, jnp.zeros((Myc, Wc_out - Mxc2), ev.dtype)], axis=1
+    )
+
+
+def _restrict_kernel(r_hbm, out_ref, rwin, sem, *, Mzf, Myf, Mxf,
+                     Mzc, Myc, Mxc, lmf, lmc):
+    i = pl.program_id(0)         # coarse z-slab index
+    zs = jnp.clip(2 * i - 1, 0, Mzf - 3)
+    cp = pltpu.make_async_copy(r_hbm.at[pl.ds(zs, 3), :, :], rwin, sem)
+    cp.start()
+    cp.wait()
+    r = rwin[:]
+    _, _, _, interior = _masks3(zs, (3, Myf, Mxf), lmf)
+    rt = jnp.where(interior, r, jnp.zeros_like(r))
+    # z-combination [1 2 1] centered on fine z = 2i; window slab of fine
+    # z=2i is (2i - zs).  Coarse padding slabs (2i beyond the fine grid)
+    # clamp to branch 2 and are zeroed by the coarse mask.
+    o = jnp.clip(2 * i - zs, 0, 2)
+
+    def combine(oc):
+        lo = rt[oc - 1] if oc > 0 else jnp.zeros_like(rt[0])
+        hi = rt[oc + 1] if oc < 2 else jnp.zeros_like(rt[0])
+        return lo + 2.0 * rt[oc] + hi
+
+    for oc in (0, 1, 2):
+        @pl.when(o == oc)
+        def _(oc=oc):
+            g = combine(oc)
+            res = _plane_restrict(g, lmf, lmc, Mxc) * 0.125  # 8 * /64
+            yc = jax.lax.broadcasted_iota(jnp.int32, res.shape, 0)
+            xc = jax.lax.broadcasted_iota(jnp.int32, res.shape, 1)
+            mask = (
+                (i >= 1) & (i <= lmc - 2)
+                & (yc >= 1) & (yc <= lmc - 2)
+                & (xc >= 1) & (xc <= lmc - 2)
+            )
+            res = jnp.where(mask, res, jnp.zeros_like(res))
+            ry = res.shape[0]
+            if ry >= Myc:
+                out_ref[0] = res[:Myc]
+            else:
+                out_ref[0] = jnp.concatenate(
+                    [res, jnp.zeros((Myc - ry, Mxc), res.dtype)], axis=0
+                )
+
+
+def restrict_pt(r_fine, coarse_shape: Tuple[int, int, int], lmf: int,
+                lmc: int, interpret: bool = False):
+    """3D variational P^T restriction (correction-equation BC masking
+    built in, matching the jnp path in solver.vcycle.restrict_level)."""
+    Mzf, Myf, Mxf = r_fine.shape
+    Mzc, Myc, Mxc = coarse_shape
+    kernel = functools.partial(
+        _restrict_kernel, Mzf=Mzf, Myf=Myf, Mxf=Mxf,
+        Mzc=Mzc, Myc=Myc, Mxc=Mxc, lmf=lmf, lmc=lmc,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(Mzc,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, Myc, Mxc), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(coarse_shape, r_fine.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((3, Myf, Mxf), r_fine.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(r_fine)
+
+
+def _plane_prolong(c, Mxf_out):
+    """In-plane (y, x) bilinear interpolation of one coarse z-plane."""
+    Myc, Mxc = c.shape
+    codd = 0.5 * (c + _roll(c, -1, 1))
+    inter = jnp.stack([c.T, codd.T], axis=1).reshape(2 * Mxc, Myc)
+    wide = inter.T                               # (Myc, 2*Mxc)
+    wodd = 0.5 * (wide + _roll(wide, -1, 0))
+    full = jnp.stack([wide, wodd], axis=1).reshape(2 * Myc, 2 * Mxc)
+    return full[:, :Mxf_out]
+
+
+def _prolong_kernel(c_hbm, out_ref, cwin, sem, *, Mzf, Myf, Mxf,
+                    Mzc, Myc, Mxc, lmf):
+    i = pl.program_id(0)          # fine z-slab PAIR index: fine z = 2i, 2i+1
+    zc = jnp.clip(i, 0, Mzc - 2)
+    cp = pltpu.make_async_copy(c_hbm.at[pl.ds(zc, 2), :, :], cwin, sem)
+    cp.start()
+    cp.wait()
+    c = cwin[:]
+    o = i - zc                    # 0 normally; 1 only in the clamped tail
+
+    for oc in (0, 1):
+        @pl.when(o == oc)
+        def _(oc=oc):
+            p0 = _plane_prolong(c[oc], Mxf)[:Myf]
+            p1_src = c[oc + 1] if oc + 1 < 2 else c[oc]
+            p1 = _plane_prolong(p1_src, Mxf)[:Myf]
+            even = p0
+            odd = 0.5 * (p0 + p1)
+            zf0 = 2 * i
+            for sl, plane in ((0, even), (1, odd)):
+                zf = zf0 + sl
+                yf = jax.lax.broadcasted_iota(jnp.int32, plane.shape, 0)
+                xf = jax.lax.broadcasted_iota(jnp.int32, plane.shape, 1)
+                mask = (zf <= lmf - 1) & (yf <= lmf - 1) & (xf <= lmf - 1)
+                out_ref[sl] = jnp.where(mask, plane, jnp.zeros_like(plane))
+
+
+def prolong_linear(c_coarse, fine_shape: Tuple[int, int, int], lmf: int,
+                   interpret: bool = False):
+    """3D trilinear prolongation onto the padded fine grid."""
+    Mzc, Myc, Mxc = c_coarse.shape
+    Mzf, Myf, Mxf = fine_shape
+    kernel = functools.partial(
+        _prolong_kernel, Mzf=Mzf, Myf=Myf, Mxf=Mxf,
+        Mzc=Mzc, Myc=Myc, Mxc=Mxc, lmf=lmf,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(Mzf // 2,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((2, Myf, Mxf), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(fine_shape, c_coarse.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, Myc, Mxc), c_coarse.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(c_coarse)

@@ -36,16 +36,21 @@ class SmootherData:
 
     r_omega: Dinv*(A - D) as a stencil op — the reference's R_omega matrix
              (multigrid.py:55).
-    dinv:    1/diag(A) grid — the reference's diag_A_inv (multigrid.py:54).
+    dinv:    1/diag(A) grid — the reference's diag_A_inv (multigrid.py:54);
+             None for plane-free const levels (synthesized from iota via
+             A.dinv(), zero HBM).
     lmax:    estimate of the largest eigenvalue of Dinv*A (Chebyshev).
     """
 
     r_omega: StencilOperator
-    dinv: jax.Array
+    dinv: Optional[jax.Array]
     lmax: jax.Array
     omega: float
     cheby_degree: int
     cheby_eig_ratio: float
+
+    def dinv_for(self, A: StencilOperator) -> jax.Array:
+        return self.dinv if self.dinv is not None else A.dinv()
 
 
 def color_mask(shape: Tuple[int, ...], parity: Tuple[int, ...],
@@ -80,6 +85,7 @@ def jacobi_smooth(
     f: jax.Array,
     nsweeps: int,
     unroll: bool = False,
+    A: Optional[StencilOperator] = None,
 ) -> jax.Array:
     """nw sweeps of  v <- (1-w) v + w (Dinv f) - w (R_omega v).
 
@@ -88,7 +94,10 @@ def jacobi_smooth(
     recomputes it every sweep with identical value — multigrid.py:226).
     """
     w = sm.omega
-    df = sm.dinv * f
+    dinv = sm.dinv if sm.dinv is not None else (
+        A.dinv() if A is not None else sm.r_omega.dinv()
+    )
+    df = dinv * f
 
     def sweep(_, v):
         return (1.0 - w) * v + w * df - w * sm.r_omega.apply(v)
@@ -124,11 +133,13 @@ def multicolor_gs_smooth(
             for p in itertools.product(range(mod), repeat=d)
         ]
 
+    dinv = sm.dinv_for(A)
+
     def sweep(_, v):
         for mk in masks:
             mask = mk(v.shape)
             r = f - A.apply(v)
-            v = jnp.where(mask, v + sm.dinv * r, v)
+            v = jnp.where(mask, v + dinv * r, v)
         return v
 
     if nsweeps <= 2:
@@ -157,15 +168,17 @@ def chebyshev_smooth(
     delta = 0.5 * (lmax - lmin)
     sigma = theta / delta
 
+    dinv = sm.dinv_for(A)
+
     def one_round(_, v):
         r = f - A.apply(v)
-        z = sm.dinv * r
+        z = dinv * r
         p = z / theta
         v = v + p
         rho_prev = 1.0 / sigma
         for _k in range(1, sm.cheby_degree):
             r = f - A.apply(v)
-            z = sm.dinv * r
+            z = dinv * r
             rho = 1.0 / (2.0 * sigma - rho_prev)
             p = rho * rho_prev * p + (2.0 * rho / delta) * z
             v = v + p
@@ -181,14 +194,25 @@ def chebyshev_smooth(
 
 def _pallas_jacobi(sm, A, v, f, nsweeps):
     from . import dispatch
-    from .pallas import stencil2d
 
     interp = dispatch.interpret_mode()
-    df = sm.dinv * f
     lm = A.logical_m
+    if v.ndim == 2:
+        from .pallas import stencil2d
 
-    def sweep(_, v):
-        return stencil2d.jacobi_sweep(v, df, lm, sm.omega, interpret=interp)
+        df = sm.dinv_for(A) * f
+
+        def sweep(_, v):
+            return stencil2d.jacobi_sweep(v, df, lm, sm.omega,
+                                          interpret=interp)
+    else:
+        from .pallas import stencil3d
+
+        wc, woff = dispatch.const7_weights(A)
+
+        def sweep(_, v):
+            return stencil3d.jacobi_sweep(v, f, lm, wc, woff, sm.omega,
+                                          interpret=interp)
 
     if nsweeps <= 2:
         for k in range(nsweeps):
@@ -199,13 +223,24 @@ def _pallas_jacobi(sm, A, v, f, nsweeps):
 
 def _pallas_rbgs(sm, A, v, f, nsweeps):
     from . import dispatch
-    from .pallas import stencil2d
 
     interp = dispatch.interpret_mode()
     lm = A.logical_m
+    if v.ndim == 2:
+        from .pallas import stencil2d
 
-    def sweep(_, v):
-        return stencil2d.rb_sweep(v, f, lm, interpret=interp)
+        def sweep(_, v):
+            return stencil2d.rb_sweep(v, f, lm, interpret=interp)
+    else:
+        from .pallas import stencil3d
+
+        wc, woff = dispatch.const7_weights(A)
+
+        def sweep(_, v):
+            v = stencil3d.rb_half_sweep(v, f, lm, wc, woff, 0,
+                                        interpret=interp)
+            return stencil3d.rb_half_sweep(v, f, lm, wc, woff, 1,
+                                           interpret=interp)
 
     if nsweeps <= 2:
         for k in range(nsweeps):
@@ -234,7 +269,7 @@ def smooth(
             if kind == "rbgs":
                 return _pallas_rbgs(sm, A, v, f, nsweeps)
     if kind == "jacobi":
-        return jacobi_smooth(sm, v, f, nsweeps)
+        return jacobi_smooth(sm, v, f, nsweeps, A=A)
     if kind == "rbgs":
         return multicolor_gs_smooth(sm, A, v, f, nsweeps)
     if kind == "chebyshev":

@@ -47,7 +47,10 @@ class SolveResult(NamedTuple):
 
 def residual_norm(hier: Hierarchy, r: jax.Array) -> jax.Array:
     """FEM-L2 (mass-weighted) residual norm — reference res_calculator
-    (multigrid.py:203-208)."""
+    (multigrid.py:203-208).  Lean (scale-mode) hierarchies carry no mass
+    operator and fall back to the vector 2-norm."""
+    if hier.M_fine is None:
+        return jnp.sqrt(jnp.sum(r * r))
     return mass_norm(hier.M_fine, r)
 
 
@@ -59,6 +62,8 @@ def error_norm(hier: Hierarchy, u: jax.Array) -> jax.Array:
     (u_h(x_q) - u*(x_q))^2 — exact-arithmetic-identical to dolfinx's
     assemble_scalar but without the catastrophic cancellation of the
     expanded u^T M u - 2 c^T u + d form."""
+    if hier.err_quad is None:
+        return jnp.array(jnp.nan, dtype=u.dtype)
     eq = hier.err_quad
     st = eq.stride
     if st == 1:
@@ -97,6 +102,15 @@ def tolerance_solve(
     max_c = spec.max_cycles
     nan = jnp.array(jnp.nan, dtype=dtype)
 
+    # rtol is measured against the residual of the zero iterate (i.e.
+    # ||b||-ish), NOT the post-FMG starting residual — FMG already lands
+    # near the discretization floor, so a further 1e-6 relative drop from
+    # there would be unreachable.
+    rn_ref = residual_norm(
+        hier, compute_residual(hier.finest, jnp.zeros_like(v0), f,
+                               use_pallas=spec.use_pallas)
+    )
+
     def body(carry):
         v, k, _, _, rn0, res_h, err_h = carry
         v = vcycle(hier, spec, L, v, f)
@@ -107,6 +121,8 @@ def tolerance_solve(
         err_h = err_h.at[k].set(en)
         rn0 = jnp.where(k == 0, rn, rn0)
         converged = rn <= spec.tol
+        if spec.rtol > 0.0:
+            converged = converged | (rn <= spec.rtol * rn_ref)
         # Divergence guard (absent in the reference's unbounded while-True,
         # SURVEY.md §5): non-finite residual OR runaway growth.
         diverged = (~jnp.isfinite(rn)) | (rn > 1e8 * rn0)

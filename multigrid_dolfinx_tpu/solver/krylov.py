@@ -18,8 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import CycleSpec
-from ..ops.operators import mass_norm
-from .fmg import fmg_solve
+from .fmg import fmg_solve, residual_norm
 from .hierarchy import Hierarchy
 from .vcycle import vcycle
 
@@ -74,7 +73,7 @@ def mgcg_solve(
         beta = jnp.sum(z_new * (r_new - r)) / rz
         p = z_new + beta * p
         rz_new = jnp.sum(r_new * z_new)
-        rn = mass_norm(hier.M_fine, r_new)
+        rn = residual_norm(hier, r_new)
         hist = hist.at[k].set(rn)
         converged = rn <= spec.tol
         diverged = ~jnp.isfinite(rn)

@@ -40,10 +40,19 @@ def compute_residual(level, v, f, use_pallas: bool = False) -> jax.Array:
         from ..ops import dispatch
 
         if dispatch.pallas_eligible(level.A, v.shape, v.dtype):
-            from ..ops.pallas import stencil2d
+            if v.ndim == 2:
+                from ..ops.pallas import stencil2d
 
-            return stencil2d.residual(
-                v, f, level.A.logical_m, interpret=dispatch.interpret_mode()
+                return stencil2d.residual(
+                    v, f, level.A.logical_m,
+                    interpret=dispatch.interpret_mode(),
+                )
+            from ..ops.pallas import stencil3d
+
+            wc, woff = dispatch.const7_weights(level.A)
+            return stencil3d.residual(
+                v, f, level.A.logical_m, wc, woff,
+                interpret=dispatch.interpret_mode(),
             )
     return f - level.A.apply(v)
 
@@ -69,9 +78,17 @@ def restrict_level(r, fine_level, coarse_level, kind: str,
             dispatch.pallas_eligible(fine_level.A, r.shape, r.dtype)
             and dispatch.layout_aligned(coarse_level.shape)
         ):
-            from ..ops.pallas import stencil2d
+            if r.ndim == 2:
+                from ..ops.pallas import stencil2d
 
-            return stencil2d.restrict_pt(
+                return stencil2d.restrict_pt(
+                    r, coarse_level.shape,
+                    fine_level.n + 1, coarse_level.n + 1,
+                    interpret=dispatch.interpret_mode(),
+                )
+            from ..ops.pallas import stencil3d
+
+            return stencil3d.restrict_pt(
                 r, coarse_level.shape,
                 fine_level.n + 1, coarse_level.n + 1,
                 interpret=dispatch.interpret_mode(),
@@ -97,9 +114,16 @@ def prolong_level(vc, coarse_level, fine_level, kind: str,
             dispatch.pallas_eligible(fine_level.A, fine_level.shape, vc.dtype)
             and dispatch.layout_aligned(vc.shape)
         ):
-            from ..ops.pallas import stencil2d
+            if vc.ndim == 2:
+                from ..ops.pallas import stencil2d
 
-            return stencil2d.prolong_linear(
+                return stencil2d.prolong_linear(
+                    vc, fine_level.shape, fine_level.n + 1,
+                    interpret=dispatch.interpret_mode(),
+                )
+            from ..ops.pallas import stencil3d
+
+            return stencil3d.prolong_linear(
                 vc, fine_level.shape, fine_level.n + 1,
                 interpret=dispatch.interpret_mode(),
             )

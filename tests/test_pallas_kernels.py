@@ -130,3 +130,124 @@ def test_full_pallas_solve_matches_jnp_solve():
         np.asarray(rp.u)[:lm, :lm], np.asarray(rj.u)[:lm, :lm],
         rtol=1e-4, atol=1e-5,
     )
+
+
+# ----------------------------------------------------------------------
+# 3D kernels
+# ----------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def lev3d():
+    cyc = CycleSpec(nu1=2, nu2=2, smoother="rbgs", restriction="pt",
+                    tol=0.0, rtol=1e-6, max_cycles=30, use_pallas=True)
+    cfg = models.poisson3d(finest_level=1, coarsest_level=0,
+                           coarsest_elements=8, dtype="float32", cycle=cyc)
+    from multigrid_dolfinx_tpu.solver.hierarchy import build_lean_hierarchy
+
+    hier = build_lean_hierarchy(cfg)
+    return cfg, hier
+
+
+def test_3d_eligibility_and_weights(lev3d):
+    cfg, hier = lev3d
+    fl = hier.finest
+    assert dispatch.pallas_eligible(fl.A, fl.shape, jnp.float32)
+    wc, woff = dispatch.const7_weights(fl.A)
+    # 3D Kuhn P1 == 7-point: wc = 6h, woff = -h at h=1/16
+    assert wc == pytest.approx(6.0 / 16.0, rel=1e-6)
+    assert woff == pytest.approx(-1.0 / 16.0, rel=1e-6)
+
+
+def _rand3(shape, lm, seed):
+    rng = np.random.default_rng(seed)
+    v = np.zeros(shape, np.float32)
+    v[:lm, :lm, :lm] = rng.standard_normal((lm,) * 3).astype(np.float32)
+    return jnp.asarray(v)
+
+
+def test_3d_rb_half_sweeps_match_jnp(lev3d):
+    from multigrid_dolfinx_tpu.ops.pallas import stencil3d
+
+    cfg, hier = lev3d
+    fl = hier.finest
+    lm = fl.n + 1
+    wc, woff = dispatch.const7_weights(fl.A)
+    v = _rand3(fl.shape, lm, 1)
+    f = fl.b
+    want = multicolor_gs_smooth(fl.sm, fl.A, v, f, 1)
+    got = stencil3d.rb_half_sweep(v, f, lm, wc, woff, 0, interpret=True)
+    got = stencil3d.rb_half_sweep(got, f, lm, wc, woff, 1, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-5, atol=3e-5)
+
+
+def test_3d_jacobi_matches_jnp(lev3d):
+    from multigrid_dolfinx_tpu.ops.pallas import stencil3d
+
+    cfg, hier = lev3d
+    fl = hier.finest
+    lm = fl.n + 1
+    wc, woff = dispatch.const7_weights(fl.A)
+    v = _rand3(fl.shape, lm, 2)
+    f = fl.b
+    want = jacobi_smooth(fl.sm, v, f, 1, A=fl.A)
+    got = stencil3d.jacobi_sweep(v, f, lm, wc, woff, fl.sm.omega,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-5, atol=3e-5)
+
+
+def test_3d_residual_matches_jnp(lev3d):
+    from multigrid_dolfinx_tpu.ops.pallas import stencil3d
+
+    cfg, hier = lev3d
+    fl = hier.finest
+    lm = fl.n + 1
+    wc, woff = dispatch.const7_weights(fl.A)
+    v = _rand3(fl.shape, lm, 3)
+    f = fl.b
+    want = f - fl.A.apply(v)
+    got = stencil3d.residual(v, f, lm, wc, woff, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-5, atol=3e-5)
+
+
+def test_3d_transfers_match_jnp(lev3d):
+    from multigrid_dolfinx_tpu.ops.pallas import stencil3d
+
+    cfg, hier = lev3d
+    fl, cl = hier.finest, hier.levels[0]
+    lmf, lmc = fl.n + 1, cl.n + 1
+    r = _rand3(fl.shape, lmf, 4)
+    want = vc.restrict_level(r, fl, cl, "pt", use_pallas=False)
+    got = stencil3d.restrict_pt(r, cl.shape, lmf, lmc, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-5, atol=3e-5)
+
+    c = _rand3(cl.shape, lmc, 5)
+    wantp = vc.prolong_level(c, cl, fl, "bilinear", use_pallas=False)
+    gotp = stencil3d.prolong_linear(c, fl.shape, lmf, interpret=True)
+    np.testing.assert_allclose(np.asarray(gotp), np.asarray(wantp),
+                               rtol=3e-5, atol=3e-5)
+
+
+def test_3d_full_pallas_solve_matches_jnp():
+    from multigrid_dolfinx_tpu.solver.hierarchy import build_lean_hierarchy
+
+    base = dict(nu1=2, nu2=2, smoother="rbgs", restriction="pt",
+                tol=0.0, rtol=1e-5, max_cycles=30)
+    cyc_p = CycleSpec(use_pallas=True, **base)
+    cyc_j = CycleSpec(use_pallas=False, **base)
+    cfg_p = models.poisson3d(finest_level=1, coarsest_level=0,
+                             coarsest_elements=8, dtype="float32",
+                             cycle=cyc_p)
+    rp = solve(build_lean_hierarchy(cfg_p), cyc_p, mode="tol")
+    cfg_j = cfg_p.replace(cycle=cyc_j)
+    rj = solve(build_lean_hierarchy(cfg_j), cyc_j, mode="tol")
+    assert bool(rp.converged)
+    assert int(rp.num_cycles) == int(rj.num_cycles)
+    lm = cfg_p.hierarchy.elements_at(1) + 1
+    np.testing.assert_allclose(
+        np.asarray(rp.u)[:lm, :lm, :lm], np.asarray(rj.u)[:lm, :lm, :lm],
+        rtol=1e-4, atol=1e-5,
+    )
