@@ -9,7 +9,7 @@ JAX); exactness is what matters.
 """
 from __future__ import annotations
 
-from typing import Callable, Tuple
+from typing import Tuple
 
 import numpy as np
 

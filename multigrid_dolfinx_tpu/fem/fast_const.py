@@ -24,7 +24,7 @@ planes=None): the 7-point operator on a 100M-point grid costs zero HBM.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -32,7 +32,7 @@ import numpy as np
 
 from ..config import ProblemSpec
 from ..mesh import GridLevel
-from ..ops.operators import StencilOperator, box_interior_mask, detect_const_stencil
+from ..ops.operators import box_interior_mask, detect_const_stencil
 from . import assembly as fa
 
 

@@ -19,7 +19,7 @@ V-cycle iteration counts reproducible (SURVEY.md §3.5).
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Tuple
+
 
 import numpy as np
 

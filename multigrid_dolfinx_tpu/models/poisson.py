@@ -7,16 +7,12 @@ on the unit square with Dirichlet data from u* = 1 + x^2 + 2y^2
 """
 from __future__ import annotations
 
-import dataclasses
 from typing import Callable, Optional
-
-import numpy as np
 
 from ..config import (
     CycleSpec,
     HierarchySpec,
     ProblemSpec,
-    ShardingSpec,
     SolverConfig,
 )
 

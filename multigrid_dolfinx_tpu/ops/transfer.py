@@ -33,8 +33,6 @@ Fine level has 2n elements, coarse has n; node grids (2n+1)^d and (n+1)^d.
 from __future__ import annotations
 
 import itertools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

@@ -28,14 +28,13 @@ import math
 from typing import Optional, Sequence, Tuple
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import ShardingSpec, SolverConfig
 from ..mesh import build_grid_hierarchy
 from ..ops.operators import StencilOperator
-from ..solver.hierarchy import ErrorQuad, Hierarchy, Level, build_hierarchy
+from ..solver.hierarchy import Hierarchy, Level, build_hierarchy
 
 
 def make_device_mesh(

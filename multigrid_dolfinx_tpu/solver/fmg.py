@@ -15,16 +15,14 @@ Reproduces both reference entry points:
 """
 from __future__ import annotations
 
-import dataclasses
 from functools import lru_cache, partial
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 from ..config import CycleSpec
-from ..ops import transfer
-from ..ops.operators import StencilOperator, mass_norm, quadratic_form
+from ..ops.operators import mass_norm
 from .hierarchy import Hierarchy
 from .vcycle import compute_residual, prolong_level, vcycle
 

@@ -12,14 +12,14 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..config import SolverConfig
-from ..mesh import GridLevel, build_grid_hierarchy
+from ..mesh import build_grid_hierarchy
 from ..fem import assembly as fem_assembly
 from ..fem.assembly import AssembledLevel, stencil_apply_np
 from ..fem.norms import error_quadrature

@@ -9,8 +9,6 @@ trip anywhere inside a cycle (SURVEY.md §7 translation 3).
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 

@@ -9,12 +9,9 @@ problem is rejected loudly.
 """
 from __future__ import annotations
 
-import dataclasses
 import hashlib
 import json
 from pathlib import Path
-from typing import Optional, Tuple
-
 import numpy as np
 
 from ..config import SolverConfig

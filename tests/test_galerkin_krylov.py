@@ -119,3 +119,47 @@ def test_mgcg_beats_plain_vcycles_on_anisotropic():
     accel = solve_mgcg(hier, cfg.cycle, fmg_start=False)
     assert bool(accel.converged)
     assert int(accel.num_iters) <= int(plain.num_cycles)
+
+
+def test_galerkin_3d():
+    """Galerkin RAP in 3D: trilinear P keeps the coarse stencil compact and
+    the variable-coefficient solve converges."""
+    kap = lambda x, y, z: 1.0 + 3.0 * x * y + z
+    from multigrid_dolfinx_tpu.config import (
+        HierarchySpec, ProblemSpec, SolverConfig,
+    )
+
+    cyc = CycleSpec(nu1=2, nu2=2, smoother="rbgs", restriction="pt",
+                    tol=1e-8, max_cycles=40)
+    cfg = SolverConfig(
+        problem=ProblemSpec(ndim=3, rhs_const=-12.0, kappa=kap),
+        hierarchy=HierarchySpec(coarsest_elements=4, coarsest_level=0,
+                                finest_level=2, coarse_operator="galerkin"),
+        cycle=cyc, dtype="float64",
+    )
+    hier = build_hierarchy(cfg)
+    res = solve(hier, cfg.cycle, mode="tol")
+    assert bool(res.converged)
+    assert int(res.num_cycles) < 25
+
+
+def test_solve_batched_multiple_rhs():
+    """DP analogue: vmapped solves over a batch of right-hand sides share
+    one hierarchy (SURVEY.md §2c)."""
+    import jax.numpy as jnp
+    from multigrid_dolfinx_tpu.solver.batched import solve_batched
+
+    cyc = CycleSpec(nu1=2, nu2=2, smoother="rbgs", restriction="pt",
+                    tol=1e-9, max_cycles=40)
+    cfg = models.poisson2d(finest_level=3, cycle=cyc)
+    hier = build_hierarchy(cfg)
+    f = hier.finest.b
+    batch = jnp.stack([f, 0.5 * f, 2.0 * f])
+    res = solve_batched(hier, cyc, batch)
+    assert res.u.shape[0] == 3
+    assert bool(np.all(np.asarray(res.converged)))
+    # single solve for the unscaled RHS must match batch element 0
+    single = solve(hier, cyc, mode="tol")
+    np.testing.assert_allclose(
+        np.asarray(res.u[0]), np.asarray(single.u), rtol=1e-9, atol=1e-11
+    )
