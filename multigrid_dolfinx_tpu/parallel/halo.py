@@ -1,0 +1,320 @@
+"""Explicit halo-exchange multigrid under shard_map.
+
+parallel/sharding.py lets the XLA SPMD partitioner derive the collectives
+from sharding annotations (GSPMD).  This module is the hand-scheduled
+alternative — the direct TPU-native analogue of PETSc's VecScatter /
+ghostUpdate machinery the reference rides on (Multigrid_prototype.py:79-80,
+106-107):
+
+  * every level's grid is block-partitioned over the ('gx','gy') device
+    mesh inside a single `shard_map`-ped solve;
+  * each stencil op exchanges 1-deep halos with its 4 mesh neighbors via
+    `jax.lax.ppermute` (edge ranks receive zeros — exactly the zero-
+    extension the operators' boundary masks expect);
+  * norm reductions are explicit `psum`s over both mesh axes;
+  * the coarsest level is all-gathered and solved redundantly on every
+    device (it is tiny; redundant compute beats communication).
+
+Level storage for this path is geometric: the padded size of each sharded
+level is exactly 2x the next-coarser one (pick_shard_pad_plan), so
+restriction/prolongation are shard-local given one halo — no resharding at
+transfers.  Currently 2D const-coefficient P1 (lean hierarchies); the
+GSPMD path covers everything else.
+"""
+from __future__ import annotations
+
+import math
+from functools import lru_cache, partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import CycleSpec, SolverConfig
+from ..mesh import build_grid_hierarchy
+from ..solver.hierarchy import Hierarchy, build_lean_hierarchy
+
+try:  # jax>=0.6 moved shard_map out of experimental
+    from jax import shard_map as _shard_map_mod  # type: ignore
+    shard_map = _shard_map_mod.shard_map if hasattr(_shard_map_mod, "shard_map") else _shard_map_mod
+except Exception:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+
+# ----------------------------------------------------------------------
+# Halo exchange
+# ----------------------------------------------------------------------
+
+def _shift(x, axis_name: str, forward: bool):
+    """Nearest-neighbor ppermute along a mesh axis; ranks with no source
+    receive zeros (the domain-boundary zero extension)."""
+    n = jax.lax.axis_size(axis_name)
+    if n == 1:
+        return jnp.zeros_like(x)
+    if forward:
+        perm = [(i, i + 1) for i in range(n - 1)]
+    else:
+        perm = [(i + 1, i) for i in range(n - 1)]
+    return jax.lax.ppermute(x, axis_name, perm)
+
+
+def halo_pad2d(u: jax.Array, ax: Tuple[str, str]) -> jax.Array:
+    """Local (mb, nb) block -> (mb+2, nb+2) with 1-deep halos from the 4
+    mesh neighbors (corners stay zero: 5-point stencils never read them)."""
+    gx, gy = ax
+    top = _shift(u[-1:, :], gx, forward=True)     # row from gx-1 neighbor
+    bot = _shift(u[:1, :], gx, forward=False)     # row from gx+1 neighbor
+    u2 = jnp.concatenate([top, u, bot], axis=0)
+    left = _shift(u2[:, -1:], gy, forward=True)
+    right = _shift(u2[:, :1], gy, forward=False)
+    return jnp.concatenate([left, u2, right], axis=1)
+
+
+# ----------------------------------------------------------------------
+# Shard-local const-5 operators (global-position-aware masks)
+# ----------------------------------------------------------------------
+
+def _global_coords(shape, offsets):
+    gi = offsets[0] + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    gj = offsets[1] + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    return gi, gj
+
+
+def _masks_local(shape, offsets, lm):
+    gi, gj = _global_coords(shape, offsets)
+    interior = (gi >= 1) & (gi <= lm - 2) & (gj >= 1) & (gj <= lm - 2)
+    inbox = (gi <= lm - 1) & (gj <= lm - 1)
+    return interior, inbox
+
+
+def _nsum(up):
+    """N+S+E+W from a halo-padded block."""
+    return (up[:-2, 1:-1] + up[2:, 1:-1] + up[1:-1, :-2] + up[1:-1, 2:])
+
+
+def apply_const5_local(u, offsets, lm, ax, wc, woff):
+    """Local y = A u for the Dirichlet-eliminated const-5 operator."""
+    interior, _ = _masks_local(u.shape, offsets, lm)
+    ut = jnp.where(interior, u, jnp.zeros_like(u))
+    up = halo_pad2d(ut, ax)
+    au = wc * ut + woff * _nsum(up)
+    return jnp.where(interior, au, u)
+
+
+def rbgs_sweep_local(v, f, offsets, lm, ax, wc, woff):
+    """One full red-black GS sweep (two colored half-sweeps, each with its
+    own halo exchange — the update pattern PETSc-based codes implement
+    with ghostUpdate between colors)."""
+    gi, gj = _global_coords(v.shape, offsets)
+    interior, _ = _masks_local(v.shape, offsets, lm)
+    for parity in (0, 1):
+        vt = jnp.where(interior, v, jnp.zeros_like(v))
+        up = halo_pad2d(vt, ax)
+        cand = jnp.where(interior, (f - woff * _nsum(up)) / wc, f)
+        color = ((gi + gj) % 2) == parity
+        v = jnp.where(color, cand, v)
+    return v
+
+
+def jacobi_sweep_local(v, f, offsets, lm, ax, wc, woff, omega):
+    interior, _ = _masks_local(v.shape, offsets, lm)
+    vt = jnp.where(interior, v, jnp.zeros_like(v))
+    up = halo_pad2d(vt, ax)
+    cand = jnp.where(interior, (f - woff * _nsum(up)) / wc, f)
+    return (1.0 - omega) * v + omega * cand
+
+
+def restrict_pt_local(r, f_offsets, lmf, lmc, ax):
+    """Shard-local P^T restriction: fine local block (2mb, 2nb) -> coarse
+    local block (mb, nb).  Fine blocks are aligned 2x coarse blocks (see
+    pick_shard_pad_plan), so only a 1-deep fine halo is needed."""
+    interior, _ = _masks_local(r.shape, f_offsets, lmf)
+    rt = jnp.where(interior, r, jnp.zeros_like(r))
+    up = halo_pad2d(rt, ax)
+    rows = up[:-2, :] + 2.0 * up[1:-1, :] + up[2:, :]
+    full = rows[:, :-2] + 2.0 * rows[:, 1:-1] + rows[:, 2:]
+    coarse = full[::2, ::2] * 0.25
+    c_offsets = (f_offsets[0] // 2, f_offsets[1] // 2)
+    interior_c, _ = _masks_local(coarse.shape, c_offsets, lmc)
+    return jnp.where(interior_c, coarse, jnp.zeros_like(coarse))
+
+
+def prolong_local(c, c_offsets, lmf, ax):
+    """Shard-local bilinear prolongation: coarse (mb, nb) -> fine
+    (2mb, 2nb).  Fine node 2i (+1) draws on coarse i (and i+1): one coarse
+    halo row/col suffices."""
+    up = halo_pad2d(c, ax)                       # (mb+2, nb+2)
+    core = up[1:, 1:]                            # coarse i .. i+mb (halo tail)
+    mb, nb = c.shape
+    # rows: even -> c_i, odd -> (c_i + c_{i+1})/2
+    even_r = core[:mb, :]
+    odd_r = 0.5 * (core[:mb, :] + core[1:mb + 1, :])
+    rows = jnp.stack([even_r, odd_r], axis=1).reshape(2 * mb, nb + 1)
+    fine = jnp.stack(
+        [rows[:, :nb], 0.5 * (rows[:, :nb] + rows[:, 1:nb + 1])], axis=2
+    ).reshape(2 * mb, 2 * nb)
+    f_offsets = (2 * c_offsets[0], 2 * c_offsets[1])
+    _, inbox = _masks_local(fine.shape, f_offsets, lmf)
+    return jnp.where(inbox, fine, jnp.zeros_like(fine))
+
+
+# ----------------------------------------------------------------------
+# Shard-mapped solver
+# ----------------------------------------------------------------------
+
+def pick_shard_pad_plan(config: SolverConfig, mesh: Mesh):
+    """Padded points per level such that (a) the coarsest padded size is a
+    multiple of the mesh dims and (b) each finer level is exactly 2x the
+    previous — making transfers shard-local."""
+    grids = build_grid_hierarchy(config.hierarchy, ndim=config.problem.ndim)
+    px, py = (int(d) for d in mesh.devices.shape)
+    base = max(grids[0].points_per_dim, 2)
+    unit = int(np.lcm(np.lcm(px, py), 2))
+    m0 = ((base + unit - 1) // unit) * unit
+    plan = []
+    for i, g in enumerate(grids):
+        m = m0 * (2 ** i)
+        assert m >= g.points_per_dim
+        plan.append((m, m))
+    return plan
+
+
+def build_halo_solver(config: SolverConfig, mesh: Mesh):
+    """Returns (hierarchy, solve_fn) where solve_fn(hier) runs the fully
+    explicit shard_map V-cycle solve (FMG start + tolerance loop) and
+    returns (u_global, num_cycles, converged).
+
+    Requirements: 2D constant-coefficient P1 (lean hierarchy)."""
+    if config.problem.ndim != 2:
+        raise NotImplementedError("halo path currently covers 2D")
+    spec = config.cycle
+    plan = pick_shard_pad_plan(config, mesh)
+    hier = build_lean_hierarchy(config, pad_points=plan)
+    ax = tuple(mesh.axis_names)
+    px, py = (int(d) for d in mesh.devices.shape)
+    grids = build_grid_hierarchy(config.hierarchy, ndim=2)
+    lms = [g.points_per_dim for g in grids]
+    weights = [
+        (lv.A.const_weights[lv.A.center_index()],
+         lv.A.const_weights[0])
+        for lv in hier.levels
+    ]
+
+    def local_solve(levels_b, coarse_factor):
+        # levels_b: list of local RHS blocks, coarsest..finest
+        def off(level_idx, shape):
+            ix = jax.lax.axis_index(ax[0]) * shape[0]
+            iy = jax.lax.axis_index(ax[1]) * shape[1]
+            return (ix, iy)
+
+        def coarse_solve(f_local):
+            # all-gather the coarsest level and solve redundantly
+            fg = jax.lax.all_gather(f_local, ax[1], axis=1, tiled=True)
+            fg = jax.lax.all_gather(fg, ax[0], axis=0, tiled=True)
+            m0 = lms[0]
+            sl = fg[:m0, :m0].reshape(-1)
+            u = coarse_factor @ sl if spec.coarse_solver == "inverse" else (
+                jax.scipy.linalg.cho_solve((coarse_factor, True), sl)
+            )
+            ug = jnp.zeros_like(fg).at[:m0, :m0].set(u.reshape(m0, m0))
+            bx = fg.shape[0] // px
+            by = fg.shape[1] // py
+            i = jax.lax.axis_index(ax[0])
+            j = jax.lax.axis_index(ax[1])
+            return jax.lax.dynamic_slice(ug, (i * bx, j * by), (bx, by))
+
+        def smooth(li, v, f, n):
+            o = off(li, v.shape)
+            wc, woff = weights[li]
+            def body(_, vv):
+                if spec.smoother == "jacobi":
+                    return jacobi_sweep_local(vv, f, o, lms[li], ax, wc,
+                                              woff, spec.omega)
+                return rbgs_sweep_local(vv, f, o, lms[li], ax, wc, woff)
+            if n <= 2:
+                for k in range(n):
+                    v = body(k, v)
+                return v
+            return jax.lax.fori_loop(0, n, body, v)
+
+        def vcycle(li, v, f):
+            if li == 0:
+                return coarse_solve(f)
+            o = off(li, v.shape)
+            wc, woff = weights[li]
+            v = smooth(li, v, f, spec.nu1)
+            r = f - apply_const5_local(v, o, lms[li], ax, wc, woff)
+            fc = restrict_pt_local(r, o, lms[li], lms[li - 1], ax)
+            vc = vcycle(li - 1, jnp.zeros_like(fc), fc)
+            oc = (o[0] // 2, o[1] // 2)
+            v = v + prolong_local(vc, oc, lms[li], ax)
+            return smooth(li, v, f, spec.nu2)
+
+        def norm_l2(r):
+            s = jnp.sum(r * r)
+            s = jax.lax.psum(s, ax[0])
+            s = jax.lax.psum(s, ax[1])
+            return jnp.sqrt(s)
+
+        # FMG start
+        L = len(levels_b) - 1
+        v = coarse_solve(levels_b[0])
+        for li in range(1, L + 1):
+            oc = (jax.lax.axis_index(ax[0]) * v.shape[0],
+                  jax.lax.axis_index(ax[1]) * v.shape[1])
+            v = prolong_local(v, oc, lms[li], ax)
+            if li < L:
+                for _ in range(spec.mu0):
+                    v = vcycle(li, v, levels_b[li])
+
+        f = levels_b[L]
+        o = off(L, v.shape)
+        wc, woff = weights[L]
+        rn_ref = norm_l2(f - apply_const5_local(
+            jnp.zeros_like(v), o, lms[L], ax, wc, woff))
+
+        def cond(carry):
+            _, k, done = carry
+            return (~done) & (k < spec.max_cycles)
+
+        def body(carry):
+            v, k, _ = carry
+            v = vcycle(L, v, f)
+            rn = norm_l2(f - apply_const5_local(v, o, lms[L], ax, wc, woff))
+            done = rn <= spec.tol
+            if spec.rtol > 0.0:
+                done = done | (rn <= spec.rtol * rn_ref)
+            return (v, k + 1, done)
+
+        v, k, done = jax.lax.while_loop(
+            cond, body, (v, jnp.array(0, jnp.int32), jnp.array(False))
+        )
+        return v, k, done
+
+    if spec.coarse_solver not in ("cholesky", "inverse"):
+        raise NotImplementedError("halo path: cholesky/inverse coarse solve")
+    bspecs = [P(ax[0], ax[1])] * hier.num_levels
+    try:
+        fn = shard_map(
+            local_solve,
+            mesh=mesh,
+            in_specs=(bspecs, P()),
+            out_specs=(P(ax[0], ax[1]), P(), P()),
+            check_vma=False,
+        )
+    except TypeError:
+        fn = shard_map(
+            local_solve,
+            mesh=mesh,
+            in_specs=(bspecs, P()),
+            out_specs=(P(ax[0], ax[1]), P(), P()),
+            check_rep=False,
+        )
+
+    def solve_fn(h: Hierarchy):
+        bs = [lv.b for lv in h.levels]
+        return fn(bs, h.coarse.factor)
+
+    return hier, jax.jit(solve_fn)
