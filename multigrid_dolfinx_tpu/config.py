@@ -41,6 +41,7 @@ class ProblemSpec:
     rhs: Optional[Callable] = None     # f(x, y[, z]) vectorized over numpy arrays
     exact: Optional[Callable] = None   # manufactured solution (BC + error norm)
     kappa: Optional[Callable] = None   # variable coefficient kappa(x, y[, z]); None = 1
+    reaction: float = 0.0              # c in -div(kappa grad u) + c u = f
     diagonal: str = "right"            # structured-triangulation diagonal direction
 
     def resolved_exact(self) -> Callable:

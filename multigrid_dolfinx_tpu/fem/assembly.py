@@ -252,7 +252,8 @@ def assemble_level(grid: GridLevel, problem: ProblemSpec) -> AssembledLevel:
     # Native (C++) fast path for P1 with constant RHS — the equivalent of
     # the reference's dolfinx/C++ assembly core (see csrc/assembler.cpp);
     # falls back to the vectorized numpy path below.
-    if degree == 1 and problem.rhs is None and problem.rhs_const is not None:
+    if (degree == 1 and problem.rhs is None
+            and problem.rhs_const is not None and problem.reaction == 0.0):
         from . import native
 
         kappa_cells = None
@@ -342,9 +343,30 @@ def assemble_level(grid: GridLevel, problem: ProblemSpec) -> AssembledLevel:
 
     A_offsets, A_raw_planes = accA.finalize()
     M_offsets, M_planes = accM.finalize()
+    if problem.reaction != 0.0:
+        # screened Poisson / reaction term: A <- A + c M (UFL form
+        # kappa*grad(u).grad(v)*dx + c*u*v*dx)
+        A_offsets, A_raw_planes = _merge_planes(
+            A_offsets, A_raw_planes, M_offsets,
+            problem.reaction * M_planes, lat_grid.shape,
+        )
     return _finish_level(
         lat_grid, problem, A_offsets, A_raw_planes, M_offsets, M_planes, b
     )
+
+
+def _merge_planes(offs_a, planes_a, offs_b, planes_b, shape):
+    """Sum two stencil operators with (possibly) different offset sets."""
+    acc = {}
+    for k, off in enumerate(offs_a):
+        acc[off] = planes_a[k].copy()
+    for k, off in enumerate(offs_b):
+        if off in acc:
+            acc[off] = acc[off] + planes_b[k]
+        else:
+            acc[off] = planes_b[k].copy()
+    offs = sorted(acc.keys())
+    return tuple(offs), np.stack([acc[o] for o in offs], axis=0)
 
 
 def _finish_level(

@@ -1,7 +1,8 @@
-"""Problem families (Poisson 2D/3D, P2, variable-coefficient diffusion)."""
+"""Problem families (Poisson 2D/3D, P2, variable-coefficient, screened)."""
 from .poisson import (
     poisson2d,
     poisson2d_p2,
     poisson3d,
+    screened_poisson2d,
     variable_coefficient_2d,
 )

@@ -88,6 +88,34 @@ def poisson2d_p2(
     )
 
 
+def screened_poisson2d(
+    c: float = 10.0,
+    finest_level: int = 3,
+    coarsest_level: int = 1,
+    coarsest_elements: int = 8,
+    dtype: str = "float64",
+    cycle: Optional[CycleSpec] = None,
+) -> SolverConfig:
+    """Screened Poisson / reaction-diffusion: -Laplace(u) + c u = f, with
+    the manufactured u* = 1 + x^2 + 2y^2 (so f = -6 + c u*).  The reaction
+    term adds c*M to the stiffness — mass-matrix machinery reused."""
+    exact = lambda x, y: 1.0 + x * x + 2.0 * y * y
+    rhs = lambda x, y: -6.0 + c * (1.0 + x * x + 2.0 * y * y)
+    return SolverConfig(
+        problem=ProblemSpec(ndim=2, rhs=rhs, rhs_const=None, exact=exact,
+                            reaction=c),
+        hierarchy=HierarchySpec(
+            coarsest_elements=coarsest_elements,
+            coarsest_level=coarsest_level,
+            finest_level=finest_level,
+        ),
+        cycle=cycle if cycle is not None else CycleSpec(
+            nu1=2, nu2=2, smoother="rbgs", restriction="pt",
+        ),
+        dtype=dtype,
+    )
+
+
 def variable_coefficient_2d(
     kappa: Callable,
     finest_level: int = 3,

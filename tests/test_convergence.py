@@ -114,3 +114,29 @@ def test_divergence_guard():
     res = solve(hier, cfg.cycle, mode="tol")
     assert not bool(res.converged)
     assert bool(res.diverged) or int(res.num_cycles) == 10
+
+
+def test_screened_poisson_converges_and_matches_exact():
+    """-Laplace(u) + c u = f: the reaction term adds c*M to the operator;
+    MG must converge and the discrete solution approaches u* at O(h^2)."""
+    from scipy.sparse.linalg import spsolve
+    from multigrid_dolfinx_tpu.fem import assembly as fa
+    from multigrid_dolfinx_tpu.mesh import build_grid_hierarchy
+
+    cyc = CycleSpec(nu1=2, nu2=2, smoother="rbgs", restriction="pt",
+                    tol=1e-11, max_cycles=60)
+    cfg = models.screened_poisson2d(c=25.0, finest_level=3, cycle=cyc)
+    hier = build_hierarchy(cfg)
+    res = solve(hier, cfg.cycle, mode="tol")
+    assert bool(res.converged)
+    assert int(res.num_cycles) < 30
+    # matches the direct solve of the same system
+    grids = build_grid_hierarchy(cfg.hierarchy, ndim=2)
+    asm = fa.assemble_level(grids[-1], cfg.problem)
+    A = fa.stencil_to_csr(asm.offsets, asm.A_planes)
+    u_direct = spsolve(A.tocsc(), asm.b.reshape(-1))
+    np.testing.assert_allclose(np.asarray(res.u).reshape(-1), u_direct,
+                               rtol=1e-7, atol=1e-10)
+    # and the FEM-L2 error vs u* is small (discretization floor)
+    k = int(res.num_cycles)
+    assert float(np.asarray(res.err_hist)[k - 1]) < 5e-4
