@@ -65,37 +65,61 @@ def _pick_tz(Mz: int, My: int, Mx: int, itemsize: int = 4) -> int:
     VMEM budget."""
     slab = My * Mx * itemsize
     budget = 56 * 1024 * 1024
-    for tz in (4, 2, 1):
+    for tz in (2, 1):
         if Mz % tz == 0 and (4 * tz + 6) * slab <= budget:
             return tz
     return 1
 
 
 def _window_kernel(body):
-    """Shared z-slab window plumbing: DMA a (tz + 2)-slab window of v
-    around the tz output slabs, compute per window slab, select the output
-    range by static branch (window offset is 0/1/2 after clamping)."""
+    """Shared z-slab window plumbing with double buffering: while block i
+    computes, block i+1's (tz + 2)-slab windows of v and f are already in
+    flight — DMA overlaps compute across the sequential grid.  Output
+    range selected by static branch (window offset is 0/1/2 after
+    clamping)."""
 
     def kernel(v_hbm, f_hbm, out_ref, vwin, fwin, sems, *, Mz, My, Mx, lm,
                tz, **kw):
         i = pl.program_id(0)
+        nprog = pl.num_programs(0)
         ws = tz + 2
-        r0 = i * tz
-        z0 = jnp.clip(r0 - 1, 0, Mz - ws)
-        cpv = pltpu.make_async_copy(
-            v_hbm.at[pl.ds(z0, ws), :, :], vwin, sems.at[0]
-        )
-        cpf = pltpu.make_async_copy(
-            f_hbm.at[pl.ds(z0, ws), :, :], fwin, sems.at[1]
-        )
-        cpv.start()
-        cpf.start()
-        cpv.wait()
-        cpf.wait()
-        v = vwin[:]
-        f = fwin[:]
-        res = body(v, f, z0, (ws, My, Mx), lm, **kw)   # list of ws planes
-        o = r0 - z0                                     # 0, 1, or 2
+
+        def window_start(block):
+            return jnp.clip(block * tz - 1, 0, Mz - ws)
+
+        def start_dmas(block, slot):
+            z0 = window_start(block)
+            pltpu.make_async_copy(
+                v_hbm.at[pl.ds(z0, ws), :, :], vwin.at[slot], sems.at[slot, 0]
+            ).start()
+            pltpu.make_async_copy(
+                f_hbm.at[pl.ds(z0, ws), :, :], fwin.at[slot], sems.at[slot, 1]
+            ).start()
+
+        def wait_dmas(block, slot):
+            z0 = window_start(block)
+            pltpu.make_async_copy(
+                v_hbm.at[pl.ds(z0, ws), :, :], vwin.at[slot], sems.at[slot, 0]
+            ).wait()
+            pltpu.make_async_copy(
+                f_hbm.at[pl.ds(z0, ws), :, :], fwin.at[slot], sems.at[slot, 1]
+            ).wait()
+
+        slot = jax.lax.rem(i, jnp.int32(2))
+
+        @pl.when(i == 0)
+        def _():
+            start_dmas(0, 0)
+
+        @pl.when(i + 1 < nprog)
+        def _():
+            start_dmas(i + 1, jax.lax.rem(i + 1, jnp.int32(2)))
+
+        wait_dmas(i, slot)
+        v = vwin[slot]
+        f = fwin[slot]
+        res = body(v, f, window_start(i), (ws, My, Mx), lm, **kw)
+        o = i * tz - window_start(i)                    # 0, 1, or 2
 
         for oc in (0, 1, 2):
             @pl.when(o == oc)
@@ -124,9 +148,9 @@ def _call_windowed(body, v, f, lm, interpret, **kw):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(v.shape, v.dtype),
         scratch_shapes=[
-            pltpu.VMEM((ws, My, Mx), v.dtype),
-            pltpu.VMEM((ws, My, Mx), v.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, ws, My, Mx), v.dtype),
+            pltpu.VMEM((2, ws, My, Mx), v.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
