@@ -76,17 +76,41 @@ def _neighbor_sum(x):
 # Jacobi sweep
 # ----------------------------------------------------------------------
 
-def _jacobi_kernel(v_hbm, df_ref, out_ref, vwin, stage, sem, *, tm, M, W, lm, w):
+def _win_start(r0, M, ws):
+    return pl.multiple_of(jnp.clip(r0 - 8, 0, M - ws), 8)
+
+
+def _db_window(hbm, win2, sems, i, nprog, M, ws, tm):
+    """Double-buffered window DMA: prefetch block i+1's window while block
+    i computes; returns block i's window slot values."""
+    slot = jax.lax.rem(i, jnp.int32(2))
+
+    def dma(block, sl):
+        return pltpu.make_async_copy(
+            hbm.at[pl.ds(_win_start(block * tm, M, ws), ws), :],
+            win2.at[sl], sems.at[sl],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(i + 1 < nprog)
+    def _():
+        dma(i + 1, jax.lax.rem(i + 1, jnp.int32(2))).start()
+
+    dma(i, slot).wait()
+    return win2[slot]
+
+
+def _jacobi_kernel(v_hbm, df_ref, out_ref, vwin, stage, sems, *, tm, M, W, lm, w):
     # Window = block + 8-row halo on each side: every dynamic offset stays
     # a multiple of 8 (Mosaic's sublane alignment requirement).
     i = pl.program_id(0)
     r0 = i * tm
     ws = tm + 16
-    start = pl.multiple_of(jnp.clip(r0 - 8, 0, M - ws), 8)
-    cp = pltpu.make_async_copy(v_hbm.at[pl.ds(start, ws), :], vwin, sem)
-    cp.start()
-    cp.wait()
-    v = vwin[:]
+    start = _win_start(r0, M, ws)
+    v = _db_window(v_hbm, vwin, sems, i, pl.num_programs(0), M, ws, tm)
     _, _, interior = _masks(start, (ws, W), lm)
     vt = jnp.where(interior, v, jnp.zeros_like(v))
     s = jnp.where(interior, _neighbor_sum(vt), jnp.zeros_like(v))
@@ -115,9 +139,9 @@ def jacobi_sweep(v, df, lm: int, w: float, interpret: bool = False):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(v.shape, v.dtype),
         scratch_shapes=[
+            pltpu.VMEM((2, tm + 16, W), v.dtype),
             pltpu.VMEM((tm + 16, W), v.dtype),
-            pltpu.VMEM((tm + 16, W), v.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(v, df)
@@ -131,15 +155,10 @@ def _rb_kernel(v_hbm, f_hbm, out_ref, vwin, fwin, stage, sems, *, tm, M, W, lm):
     i = pl.program_id(0)
     r0 = i * tm
     ws = tm + 16
-    start = pl.multiple_of(jnp.clip(r0 - 8, 0, M - ws), 8)
-    cpv = pltpu.make_async_copy(v_hbm.at[pl.ds(start, ws), :], vwin, sems.at[0])
-    cpf = pltpu.make_async_copy(f_hbm.at[pl.ds(start, ws), :], fwin, sems.at[1])
-    cpv.start()
-    cpf.start()
-    cpv.wait()
-    cpf.wait()
-    v = vwin[:]
-    f = fwin[:]
+    start = _win_start(r0, M, ws)
+    nprog = pl.num_programs(0)
+    v = _db_window(v_hbm, vwin, sems.at[0], i, nprog, M, ws, tm)
+    f = _db_window(f_hbm, fwin, sems.at[1], i, nprog, M, ws, tm)
     gr, gc, interior = _masks(start, (ws, W), lm)
     red = ((gr + gc) % 2) == 0
 
@@ -171,10 +190,10 @@ def rb_sweep(v, f, lm: int, interpret: bool = False):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(v.shape, v.dtype),
         scratch_shapes=[
+            pltpu.VMEM((2, tm + 16, W), v.dtype),
+            pltpu.VMEM((2, tm + 16, W), v.dtype),
             pltpu.VMEM((tm + 16, W), v.dtype),
-            pltpu.VMEM((tm + 16, W), v.dtype),
-            pltpu.VMEM((tm + 16, W), v.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
         interpret=interpret,
     )(v, f)
@@ -184,15 +203,12 @@ def rb_sweep(v, f, lm: int, interpret: bool = False):
 # Residual r = f - A v  (const-5 A with identity bc rows)
 # ----------------------------------------------------------------------
 
-def _residual_kernel(v_hbm, f_ref, out_ref, vwin, stage, sem, *, tm, M, W, lm):
+def _residual_kernel(v_hbm, f_ref, out_ref, vwin, stage, sems, *, tm, M, W, lm):
     i = pl.program_id(0)
     r0 = i * tm
     ws = tm + 16
-    start = pl.multiple_of(jnp.clip(r0 - 8, 0, M - ws), 8)
-    cp = pltpu.make_async_copy(v_hbm.at[pl.ds(start, ws), :], vwin, sem)
-    cp.start()
-    cp.wait()
-    v = vwin[:]
+    start = _win_start(r0, M, ws)
+    v = _db_window(v_hbm, vwin, sems, i, pl.num_programs(0), M, ws, tm)
     _, _, interior = _masks(start, (ws, W), lm)
     vt = jnp.where(interior, v, jnp.zeros_like(v))
     stage[:] = jnp.where(interior, 4.0 * vt - _neighbor_sum(vt), v)
@@ -215,9 +231,9 @@ def residual(v, f, lm: int, interpret: bool = False):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(v.shape, v.dtype),
         scratch_shapes=[
+            pltpu.VMEM((2, tm + 16, W), v.dtype),
             pltpu.VMEM((tm + 16, W), v.dtype),
-            pltpu.VMEM((tm + 16, W), v.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(v, f)

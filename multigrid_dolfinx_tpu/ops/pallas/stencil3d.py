@@ -207,6 +207,121 @@ def rb_half_sweep(v, f, lm, wc, woff, parity, interpret=False):
     )
 
 
+def _rb_fused_kernel(v_hbm, f_hbm, out_ref, vwin, fwin, sems, *, Mz, My,
+                     Mx, lm, tz, wc, woff):
+    """Full red-black sweep in one pass: window has a 2-slab halo so the
+    black stage can consume the red update straight from VMEM."""
+    i = pl.program_id(0)
+    nprog = pl.num_programs(0)
+    ws = tz + 4
+
+    def window_start(block):
+        return jnp.clip(block * tz - 2, 0, Mz - ws)
+
+    def start_dmas(block, slot):
+        z0 = window_start(block)
+        pltpu.make_async_copy(
+            v_hbm.at[pl.ds(z0, ws), :, :], vwin.at[slot], sems.at[slot, 0]
+        ).start()
+        pltpu.make_async_copy(
+            f_hbm.at[pl.ds(z0, ws), :, :], fwin.at[slot], sems.at[slot, 1]
+        ).start()
+
+    def wait_dmas(block, slot):
+        z0 = window_start(block)
+        pltpu.make_async_copy(
+            v_hbm.at[pl.ds(z0, ws), :, :], vwin.at[slot], sems.at[slot, 0]
+        ).wait()
+        pltpu.make_async_copy(
+            f_hbm.at[pl.ds(z0, ws), :, :], fwin.at[slot], sems.at[slot, 1]
+        ).wait()
+
+    slot = jax.lax.rem(i, jnp.int32(2))
+
+    @pl.when(i == 0)
+    def _():
+        start_dmas(0, 0)
+
+    @pl.when(i + 1 < nprog)
+    def _():
+        start_dmas(i + 1, jax.lax.rem(i + 1, jnp.int32(2)))
+
+    wait_dmas(i, slot)
+    v = vwin[slot]
+    f = fwin[slot]
+    z0 = window_start(i)
+    shape3 = (ws, My, Mx)
+    _, _, _, interior = _masks3(z0, shape3, lm)
+    plane_shape = shape3[1:]
+    ypx = (
+        jax.lax.broadcasted_iota(jnp.int32, plane_shape, 0)
+        + jax.lax.broadcasted_iota(jnp.int32, plane_shape, 1)
+    ) % 2
+
+    def stage(cur, parity):
+        vt = jnp.where(interior, cur, jnp.zeros_like(cur))
+        outs = []
+        for sidx in range(ws):
+            lo = vt[sidx - 1] if sidx > 0 else vt[ws - 1]
+            hi = vt[sidx + 1] if sidx < ws - 1 else vt[0]
+            c = vt[sidx]
+            ssum = (
+                lo + hi
+                + _roll(c, 1, 0) + _roll(c, -1, 0)
+                + _roll(c, 1, 1) + _roll(c, -1, 1)
+            )
+            cand = _gs_candidate(f[sidx], ssum, interior[sidx], wc, woff)
+            target = (parity + z0 + sidx) % 2
+            outs.append(jnp.where(ypx == target, cand, cur[sidx]))
+        return jnp.stack(outs, axis=0)
+
+    v1 = stage(v, 0)
+    v2 = stage(v1, 1)
+    o = i * tz - z0                                 # 0, 2, or 4
+
+    for oc in (0, 2, 4):
+        @pl.when(o == oc)
+        def _(oc=oc):
+            for sl in range(tz):
+                out_ref[sl] = v2[oc + sl]
+
+
+def rb_sweep_fused(v, f, lm, wc, woff, interpret=False):
+    """One full red-black GS sweep (both colors) in a single HBM pass."""
+    Mz, My, Mx = v.shape
+    tz = _pick_tz(Mz, My, Mx)
+    if tz % 2 != 0:
+        # odd block: window offsets would lose their parity invariant;
+        # fall back to two half-sweeps (tiny z extents only)
+        v = rb_half_sweep(v, f, lm, wc, woff, 0, interpret=interpret)
+        return rb_half_sweep(v, f, lm, wc, woff, 1, interpret=interpret)
+    ws = tz + 4
+    kernel = functools.partial(
+        _rb_fused_kernel, Mz=Mz, My=My, Mx=Mx, lm=lm, tz=tz,
+        wc=float(wc), woff=float(woff),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(Mz // tz,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((tz, My, Mx), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(v.shape, v.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, ws, My, Mx), v.dtype),
+            pltpu.VMEM((2, ws, My, Mx), v.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(v, f)
+
+
 def _jacobi_body(v, f, z0, shape3, lm, *, wc, woff, omega):
     ws = shape3[0]
     _, _, _, interior = _masks3(z0, shape3, lm)

@@ -237,10 +237,8 @@ def _pallas_rbgs(sm, A, v, f, nsweeps):
         wc, woff = dispatch.const7_weights(A)
 
         def sweep(_, v):
-            v = stencil3d.rb_half_sweep(v, f, lm, wc, woff, 0,
-                                        interpret=interp)
-            return stencil3d.rb_half_sweep(v, f, lm, wc, woff, 1,
-                                           interpret=interp)
+            return stencil3d.rb_sweep_fused(v, f, lm, wc, woff,
+                                            interpret=interp)
 
     if nsweeps <= 2:
         for k in range(nsweeps):

@@ -251,3 +251,19 @@ def test_3d_full_pallas_solve_matches_jnp():
         np.asarray(rp.u)[:lm, :lm, :lm], np.asarray(rj.u)[:lm, :lm, :lm],
         rtol=1e-4, atol=1e-5,
     )
+
+
+def test_3d_rb_fused_matches_half_sweeps(lev3d):
+    from multigrid_dolfinx_tpu.ops.pallas import stencil3d
+
+    cfg, hier = lev3d
+    fl = hier.finest
+    lm = fl.n + 1
+    wc, woff = dispatch.const7_weights(fl.A)
+    v = _rand3(fl.shape, lm, 7)
+    f = fl.b
+    want = stencil3d.rb_half_sweep(v, f, lm, wc, woff, 0, interpret=True)
+    want = stencil3d.rb_half_sweep(want, f, lm, wc, woff, 1, interpret=True)
+    got = stencil3d.rb_sweep_fused(v, f, lm, wc, woff, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-6, atol=2e-6)
