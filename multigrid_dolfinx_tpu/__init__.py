@@ -25,8 +25,22 @@ from .config import (
     reference_parity_config,
 )
 from .mesh import GridLevel, build_grid_hierarchy
-from .solver.hierarchy import Hierarchy, Level, build_hierarchy
-from .solver.fmg import SolveResult, fmg_solve, solve, residual_norm, error_norm
+from .solver.hierarchy import (
+    Hierarchy,
+    Level,
+    build_hierarchy,
+    build_lean_hierarchy,
+)
+from .solver.fmg import (
+    SolveResult,
+    fmg_solve,
+    resume_solve,
+    solve,
+    residual_norm,
+    error_norm,
+)
+from .solver.krylov import CGResult, solve_mgcg
+from .solver.batched import solve_batched
 from .solver.vcycle import vcycle
 from . import models
 
@@ -45,8 +59,13 @@ __all__ = [
     "Level",
     "build_hierarchy",
     "SolveResult",
+    "CGResult",
     "fmg_solve",
     "solve",
+    "solve_mgcg",
+    "solve_batched",
+    "resume_solve",
+    "build_lean_hierarchy",
     "vcycle",
     "residual_norm",
     "error_norm",

@@ -80,7 +80,12 @@ def cmd_solve(args) -> int:
 
     cfg = _build_config(args)
     t0 = time.perf_counter()
-    hier = build_hierarchy(cfg)
+    if args.lean:
+        from .solver.hierarchy import build_lean_hierarchy
+
+        hier = build_lean_hierarchy(cfg)
+    else:
+        hier = build_hierarchy(cfg)
     t_build = time.perf_counter() - t0
 
     t0 = time.perf_counter()
@@ -164,6 +169,9 @@ def main(argv=None) -> int:
                     help="force a jax platform (e.g. cpu, tpu)")
     ps.add_argument("--pallas", action="store_true",
                     help="fused Pallas TPU kernels")
+    ps.add_argument("--lean", action="store_true",
+                    help="O(1)-host-memory hierarchy (constant-coefficient "
+                         "P1 only; vector-2-norm residual check)")
     ps.add_argument("--mgcg", action="store_true",
                     help="MG-preconditioned CG instead of plain V-cycles")
     ps.add_argument("--fixed", action="store_true",
