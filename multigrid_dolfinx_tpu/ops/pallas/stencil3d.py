@@ -78,11 +78,12 @@ def _window_kernel(body):
     range selected by static branch (window offset is 0/1/2 after
     clamping)."""
 
-    def kernel(v_hbm, f_hbm, out_ref, vwin, fwin, sems, *, Mz, My, Mx, lm,
-               tz, **kw):
+    def kernel(zb_ref, v_hbm, f_hbm, out_ref, vwin, fwin, sems, *, Mz, My,
+               Mx, lm, tz, **kw):
         i = pl.program_id(0)
         nprog = pl.num_programs(0)
         ws = tz + 2
+        zb = zb_ref[0, 0]
 
         def window_start(block):
             return jnp.clip(block * tz - 1, 0, Mz - ws)
@@ -118,7 +119,9 @@ def _window_kernel(body):
         wait_dmas(i, slot)
         v = vwin[slot]
         f = fwin[slot]
-        res = body(v, f, window_start(i), (ws, My, Mx), lm, **kw)
+        # masks/parity see GLOBAL z = local window start + z_base (z_base
+        # nonzero when the caller is a shard of a z-decomposed grid)
+        res = body(v, f, window_start(i) + zb, (ws, My, Mx), lm, **kw)
         o = i * tz - window_start(i)                    # 0, 1, or 2
 
         for oc in (0, 1, 2):
@@ -130,17 +133,19 @@ def _window_kernel(body):
     return kernel
 
 
-def _call_windowed(body, v, f, lm, interpret, **kw):
+def _call_windowed(body, v, f, lm, interpret, z_base=None, **kw):
     Mz, My, Mx = v.shape
     tz = _pick_tz(Mz, My, Mx)
     ws = tz + 2
     kernel = functools.partial(
         _window_kernel(body), Mz=Mz, My=My, Mx=Mx, lm=lm, tz=tz, **kw
     )
+    zb = jnp.full((1, 1), 0 if z_base is None else z_base, jnp.int32)
     return pl.pallas_call(
         kernel,
         grid=(Mz // tz,),
         in_specs=[
+            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -156,7 +161,7 @@ def _call_windowed(body, v, f, lm, interpret, **kw):
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(v, f)
+    )(zb, v, f)
 
 
 def _center_of_window(z0, shape3, lm):
@@ -198,17 +203,19 @@ def _half_rb_body(v, f, z0, shape3, lm, *, wc, woff, parity):
     return out_slabs
 
 
-def rb_half_sweep(v, f, lm, wc, woff, parity, interpret=False):
+def rb_half_sweep(v, f, lm, wc, woff, parity, interpret=False,
+                  z_base=None):
     """One red or black half-sweep of Gauss-Seidel on the 7-point const
-    stencil (center weight wc, off-axis weight woff < 0)."""
+    stencil (center weight wc, off-axis weight woff < 0).  `z_base` shifts
+    the global z origin (z-sharded distributed blocks)."""
     return _call_windowed(
-        _half_rb_body, v, f, lm, interpret,
+        _half_rb_body, v, f, lm, interpret, z_base=z_base,
         wc=float(wc), woff=float(woff), parity=int(parity),
     )
 
 
-def _rb_fused_kernel(v_hbm, f_hbm, out_ref, vwin, fwin, sems, *, Mz, My,
-                     Mx, lm, tz, wc, woff):
+def _rb_fused_kernel(zb_ref, v_hbm, f_hbm, out_ref, vwin, fwin, sems, *,
+                     Mz, My, Mx, lm, tz, wc, woff):
     """Full red-black sweep in one pass: window has a 2-slab halo so the
     black stage can consume the red update straight from VMEM."""
     i = pl.program_id(0)
@@ -249,7 +256,7 @@ def _rb_fused_kernel(v_hbm, f_hbm, out_ref, vwin, fwin, sems, *, Mz, My,
     wait_dmas(i, slot)
     v = vwin[slot]
     f = fwin[slot]
-    z0 = window_start(i)
+    z0 = window_start(i) + zb_ref[0, 0]
     shape3 = (ws, My, Mx)
     _, _, _, interior = _masks3(z0, shape3, lm)
     plane_shape = shape3[1:]
@@ -277,7 +284,7 @@ def _rb_fused_kernel(v_hbm, f_hbm, out_ref, vwin, fwin, sems, *, Mz, My,
 
     v1 = stage(v, 0)
     v2 = stage(v1, 1)
-    o = i * tz - z0                                 # 0, 2, or 4
+    o = i * tz - window_start(i)                    # 0, 2, or 4
 
     for oc in (0, 2, 4):
         @pl.when(o == oc)
@@ -286,24 +293,28 @@ def _rb_fused_kernel(v_hbm, f_hbm, out_ref, vwin, fwin, sems, *, Mz, My,
                 out_ref[sl] = v2[oc + sl]
 
 
-def rb_sweep_fused(v, f, lm, wc, woff, interpret=False):
+def rb_sweep_fused(v, f, lm, wc, woff, interpret=False, z_base=None):
     """One full red-black GS sweep (both colors) in a single HBM pass."""
     Mz, My, Mx = v.shape
     tz = _pick_tz(Mz, My, Mx)
     if tz % 2 != 0:
         # odd block: window offsets would lose their parity invariant;
         # fall back to two half-sweeps (tiny z extents only)
-        v = rb_half_sweep(v, f, lm, wc, woff, 0, interpret=interpret)
-        return rb_half_sweep(v, f, lm, wc, woff, 1, interpret=interpret)
+        v = rb_half_sweep(v, f, lm, wc, woff, 0, interpret=interpret,
+                          z_base=z_base)
+        return rb_half_sweep(v, f, lm, wc, woff, 1, interpret=interpret,
+                             z_base=z_base)
     ws = tz + 4
     kernel = functools.partial(
         _rb_fused_kernel, Mz=Mz, My=My, Mx=Mx, lm=lm, tz=tz,
         wc=float(wc), woff=float(woff),
     )
+    zb = jnp.full((1, 1), 0 if z_base is None else z_base, jnp.int32)
     return pl.pallas_call(
         kernel,
         grid=(Mz // tz,),
         in_specs=[
+            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -319,7 +330,7 @@ def rb_sweep_fused(v, f, lm, wc, woff, interpret=False):
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(v, f)
+    )(zb, v, f)
 
 
 def _jacobi_body(v, f, z0, shape3, lm, *, wc, woff, omega):
@@ -341,11 +352,11 @@ def _jacobi_body(v, f, z0, shape3, lm, *, wc, woff, omega):
     return outs
 
 
-def jacobi_sweep(v, f, lm, wc, woff, omega, interpret=False):
+def jacobi_sweep(v, f, lm, wc, woff, omega, interpret=False, z_base=None):
     """One weighted-Jacobi sweep: v' = (1-w) v + w D^-1 (f - (A - D) v),
     reference association (multigrid.py:223-228) on the const-7 stencil."""
     return _call_windowed(
-        _jacobi_body, v, f, lm, interpret,
+        _jacobi_body, v, f, lm, interpret, z_base=z_base,
         wc=float(wc), woff=float(woff), omega=float(omega),
     )
 
@@ -369,10 +380,11 @@ def _residual_body(v, f, z0, shape3, lm, *, wc, woff):
     return outs
 
 
-def residual(v, f, lm, wc, woff, interpret=False):
+def residual(v, f, lm, wc, woff, interpret=False, z_base=None):
     """Fused r = f - A v for the const-7 operator."""
     return _call_windowed(
-        _residual_body, v, f, lm, interpret, wc=float(wc), woff=float(woff)
+        _residual_body, v, f, lm, interpret, z_base=z_base,
+        wc=float(wc), woff=float(woff)
     )
 
 
