@@ -114,6 +114,39 @@ def _raw_load(grid: GridLevel, problem: ProblemSpec) -> np.ndarray:
     return b
 
 
+def mass_class_tables(problem: ProblemSpec, n0: int = 4):
+    """Extract the consistent-mass boundary-class tables from a prototype
+    grid: M[p, p+off] depends only on which domain faces clip the support
+    of the edge (p, p+off), i.e. on p's per-axis class.  Verified exactly
+    against the assembled prototype.  Returns (offsets, tables (K, 3^d))
+    at prototype spacing h0 = 1/n0; mass scales as h^d."""
+    grid = GridLevel(level=0, ndim=problem.ndim, n=n0)
+    asm = fa.assemble_level(grid, problem)
+    ndim = problem.ndim
+    idx_of_class = {0: 0, 1: 1, 2: n0}
+    K = len(asm.M_offsets)
+    tables = np.zeros((K, 3 ** ndim))
+    for k in range(K):
+        plane = asm.M_planes[k]
+        recon = np.zeros_like(plane)
+        for flat, cls in enumerate(np.ndindex(*(3,) * ndim)):
+            p = tuple(idx_of_class[c] for c in cls)
+            tables[k, flat] = plane[p]
+        # verify class-constancy: reconstruct and compare
+        axes_cls = []
+        for ax in range(ndim):
+            i = np.arange(grid.points_per_dim)
+            axes_cls.append(np.where(i == 0, 0, np.where(i == n0, 2, 1)))
+        grids_cls = np.meshgrid(*axes_cls, indexing="ij")
+        flat_cls = np.zeros(grid.shape, dtype=np.int64)
+        for g in grids_cls:
+            flat_cls = flat_cls * 3 + g
+        recon = tables[k].reshape(-1)[flat_cls]
+        if not np.allclose(recon, plane, atol=1e-15):
+            raise ValueError("mass matrix is not boundary-class constant")
+    return asm.M_offsets, tables
+
+
 def _axis_class(shape, axis, lm, dtype=jnp.int32):
     """Per-axis boundary class: 0 at index 0, 2 at index lm-1, 1 inside;
     padding (index >= lm) classed 1 but masked out separately."""

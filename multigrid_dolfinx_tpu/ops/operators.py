@@ -54,7 +54,7 @@ def _shifted(up: jax.Array, off: Offset, shape, r: int) -> jax.Array:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["planes"],
+    data_fields=["planes", "class_tables"],
     meta_fields=["offsets", "const_weights", "logical_m", "boundary_mode",
                  "grid_shape"],
 )
@@ -82,6 +82,11 @@ class StencilOperator:
     logical_m: Optional[int] = None
     boundary_mode: str = "identity"
     grid_shape: Optional[Tuple[int, ...]] = None
+    # boundary-class-table mode (plane-free, non-eliminated operators whose
+    # rows depend only on which domain faces clip the node's support —
+    # e.g. the consistent mass matrix of a constant-coefficient level):
+    # class_tables[k][flat 3^d class index] = plane value.
+    class_tables: Optional[jax.Array] = None
 
     @property
     def ndim(self) -> int:
@@ -168,10 +173,36 @@ class StencilOperator:
             return jnp.where(interior, out, u)
         return jnp.where(interior, out, jnp.zeros_like(u))
 
+    def _apply_class_tables(self, u: jax.Array) -> jax.Array:
+        """Matvec with per-boundary-class coefficients: the plane value at
+        node p is class_tables[k][class(p)] where class(p) packs, per axis,
+        {low edge, interior, high edge}.  Zero extra memory: classes come
+        from iota, tables are O(3^d) scalars."""
+        lm = self.logical_m
+        shape = u.shape
+        cls = None
+        inbox = None
+        for axis in range(u.ndim):
+            i = jax.lax.broadcasted_iota(jnp.int32, shape, axis)
+            c = jnp.where(i == 0, 0, jnp.where(i == lm - 1, 2, 1))
+            cls = c if cls is None else cls * 3 + c
+            ib = i <= lm - 1
+            inbox = ib if inbox is None else inbox & ib
+        r = self.radius
+        up = jnp.pad(u, [(r, r)] * u.ndim)
+        out = None
+        for k, off in enumerate(self.offsets):
+            w = self.class_tables[k].reshape(-1)[cls]
+            term = w * _shifted(up, off, shape, r)
+            out = term if out is None else out + term
+        return jnp.where(inbox, out, jnp.zeros_like(u))
+
     def apply(self, u: jax.Array) -> jax.Array:
         """Matvec.  Planes path: K fused shifted multiply-adds.  Const
         path: weights are immediates and masks come from iota — one HBM
         pass over u."""
+        if self.class_tables is not None:
+            return self._apply_class_tables(u)
         if self.is_const:
             return self._apply_const(u)
         return self._apply_planes(u)

@@ -45,8 +45,9 @@ class SolveResult(NamedTuple):
 
 def residual_norm(hier: Hierarchy, r: jax.Array) -> jax.Array:
     """FEM-L2 (mass-weighted) residual norm — reference res_calculator
-    (multigrid.py:203-208).  Lean (scale-mode) hierarchies carry no mass
-    operator and fall back to the vector 2-norm."""
+    (multigrid.py:203-208).  Falls back to the vector 2-norm only if the
+    hierarchy carries no mass operator (lean hierarchies use a zero-memory
+    boundary-class-table mass matrix, so they keep FEM-L2 semantics)."""
     if hier.M_fine is None:
         return jnp.sqrt(jnp.sum(r * r))
     return mass_norm(hier.M_fine, r)

@@ -281,11 +281,12 @@ def build_lean_hierarchy(
 
     Levels carry plane-free const operators (weights as compile-time
     immediates, interior masks from iota), RHS/Dirichlet grids built on
-    device from a tiny assembled prototype (fem.fast_const), no stored
-    Dinv, and no mass/error-norm machinery (residual_norm falls back to
-    the vector 2-norm, error_norm reports NaN).  This is what makes
-    100M+-DOF levels fit: only b and g cost HBM per level beyond the
-    solution/residual vectors themselves.
+    device from a tiny assembled prototype (fem.fast_const), and no stored
+    Dinv.  The FEM-L2 residual norm survives via a zero-memory
+    boundary-class-table mass operator; the error-vs-exact norm is the one
+    thing dropped (error_norm reports NaN).  This is what makes 100M+-DOF
+    levels fit: only b and g cost HBM per level beyond the solution/
+    residual vectors themselves.
     """
     from ..fem.fast_const import build_const_template, device_level_arrays
 
@@ -357,9 +358,25 @@ def build_lean_hierarchy(
         asm0.offsets, asm0.A_planes, kind=config.cycle.coarse_solver,
         dtype=dtype,
     )
+
+    # Zero-memory consistent-mass operator for the finest level via
+    # boundary-class tables -> the FEM-L2 residual norm (and hence
+    # reference-matching iteration counts) works at 100M+ DOFs too.
+    from ..fem.fast_const import mass_class_tables
+
+    m_offsets, m_tables = mass_class_tables(config.problem)
+    g_f = grids[-1]
+    h_scale = (g_f.h * 4.0) ** config.problem.ndim   # prototype h0 = 1/4
+    M_fine = StencilOperator(
+        planes=None,
+        offsets=tuple(map(tuple, m_offsets)),
+        logical_m=g_f.points_per_dim,
+        grid_shape=tuple(levels[-1].shape),
+        class_tables=jnp.asarray(m_tables * h_scale, dtype=dtype),
+    )
     return Hierarchy(
         levels=tuple(levels),
         coarse=coarse,
-        M_fine=None,
+        M_fine=M_fine,
         err_quad=None,
     )

@@ -59,3 +59,31 @@ def test_lean_rejects_variable_coefficient():
     cfg = models.variable_coefficient_2d(lambda x, y: 1.0 + x)
     with pytest.raises(ValueError):
         build_lean_hierarchy(cfg)
+
+
+@pytest.mark.parametrize("ndim,finest", [(2, 3), (3, 2)])
+def test_lean_mass_norm_matches_full(ndim, finest):
+    """The class-table mass operator reproduces the assembled consistent
+    mass matrix exactly — FEM-L2 residual semantics (and tol-mode
+    iteration counts) survive into scale mode."""
+    from multigrid_dolfinx_tpu.ops.operators import mass_norm
+
+    model = models.poisson2d if ndim == 2 else models.poisson3d
+    cyc = CycleSpec(nu1=2, nu2=2, smoother="rbgs", restriction="pt",
+                    tol=1e-7, max_cycles=40)
+    cfg = model(finest_level=finest, coarsest_level=1, dtype="float64",
+                cycle=cyc)
+    h_full = build_hierarchy(cfg)
+    h_lean = build_lean_hierarchy(cfg)
+    rng = np.random.default_rng(0)
+    r = jnp.asarray(rng.standard_normal(h_full.finest.shape))
+    np.testing.assert_allclose(
+        float(mass_norm(h_lean.M_fine, r)),
+        float(mass_norm(h_full.M_fine, r)),
+        rtol=1e-13,
+    )
+    # identical tol-mode convergence behavior
+    r_full = solve(h_full, cyc, mode="tol")
+    r_lean = solve(h_lean, cyc, mode="tol")
+    assert bool(r_lean.converged)
+    assert int(r_lean.num_cycles) == int(r_full.num_cycles)
