@@ -70,7 +70,8 @@ def cmd_solve(args) -> int:
 
         # env JAX_PLATFORMS can be pinned by site config; jax.config wins.
         jax.config.update("jax_platforms", args.platform)
-    if args.dtype == "float64":
+    if args.dtype == "float64" or args.reference_parity:
+        # --reference-parity implies the reference's float64 semantics
         import jax
 
         jax.config.update("jax_enable_x64", True)

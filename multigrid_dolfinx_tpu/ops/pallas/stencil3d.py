@@ -40,19 +40,6 @@ def _masks3(z0, shape, lm):
     return z, y, x, interior
 
 
-def _neighbor_sum3(vt):
-    """7-point neighbor sum over a (3, My, Mx) window for the CENTER slab:
-    z+-1 are slabs 0/2; y/x are rolls within slab 1 (wrap entries land on
-    non-interior rows/lanes and are masked by the caller's interior
-    logic)."""
-    c = vt[1]
-    return (
-        vt[0] + vt[2]
-        + _roll(c, 1, 0) + _roll(c, -1, 0)
-        + _roll(c, 1, 1) + _roll(c, -1, 1)
-    )
-
-
 def _gs_candidate(f, s, interior_c, wc, woff):
     """GS/Jacobi update value: (f + |w| * S)/wc on the interior, f on
     bc/padding rows (padding f = 0 keeps padding at 0)."""
@@ -162,11 +149,6 @@ def _call_windowed(body, v, f, lm, interpret, z_base=None, **kw):
         ),
         interpret=interpret,
     )(zb, v, f)
-
-
-def _center_of_window(z0, shape3, lm):
-    """Masks for each slab of the 3-slab window (vector over slabs)."""
-    return _masks3(z0, shape3, lm)
 
 
 # ----------------------------------------------------------------------

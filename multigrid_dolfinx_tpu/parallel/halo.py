@@ -23,16 +23,14 @@ GSPMD path covers everything else.
 """
 from __future__ import annotations
 
-import math
-from functools import lru_cache, partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
-from ..config import CycleSpec, SolverConfig
+from ..config import SolverConfig
 from ..mesh import build_grid_hierarchy
 from ..solver.hierarchy import Hierarchy, build_lean_hierarchy
 

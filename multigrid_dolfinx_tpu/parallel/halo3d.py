@@ -20,11 +20,8 @@ way — transfers included — are the next step; see PARITY.md gaps.)
 """
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.pallas import stencil3d
