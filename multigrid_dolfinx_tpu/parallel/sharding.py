@@ -55,6 +55,20 @@ def make_device_mesh(
             px -= 1
         mesh_shape = (px, n // px)
     n_used = math.prod(mesh_shape)
+    if n_used == len(devices):
+        # On real hardware, let mesh_utils place devices so neighboring
+        # mesh coordinates are ICI neighbors (halo ppermutes then ride
+        # single-hop links); trivial/virtual topologies fall through to
+        # the order-preserving reshape.
+        try:
+            from jax.experimental import mesh_utils
+
+            arr = mesh_utils.create_device_mesh(
+                mesh_shape, devices=devices
+            )
+            return Mesh(arr, axis_names)
+        except Exception:
+            pass
     arr = np.array(devices[:n_used]).reshape(mesh_shape)
     return Mesh(arr, axis_names)
 
@@ -80,11 +94,19 @@ def _put(x, sharding):
 
 
 def _shard_stencil(op: StencilOperator, mesh, axis_names, replicate: bool):
-    spec = P() if replicate else planes_pspec(op.ndim, axis_names)
-    return StencilOperator(
-        planes=_put(op.planes, NamedSharding(mesh, spec)),
-        offsets=op.offsets,
-    )
+    """Lay an operator's device data out over the mesh, preserving ALL of
+    its static structure (const_weights / logical_m / boundary_mode /
+    grid_shape / class_tables).  A plane-free const operator is trivially
+    shardable — it has no data; its iota masks partition under GSPMD.
+    Class tables are O(3^d) scalars and stay replicated."""
+    planes = None
+    if op.planes is not None:
+        spec = P() if replicate else planes_pspec(op.ndim, axis_names)
+        planes = _put(op.planes, NamedSharding(mesh, spec))
+    class_tables = None
+    if op.class_tables is not None:
+        class_tables = _put(op.class_tables, NamedSharding(mesh, P()))
+    return dataclasses.replace(op, planes=planes, class_tables=class_tables)
 
 
 def shard_level(level: Level, mesh: Mesh, axis_names, replicate: bool) -> Level:
@@ -95,7 +117,7 @@ def shard_level(level: Level, mesh: Mesh, axis_names, replicate: bool) -> Level:
     sm = dataclasses.replace(
         sm,
         r_omega=_shard_stencil(sm.r_omega, mesh, axis_names, replicate),
-        dinv=_put(sm.dinv, gshard),
+        dinv=None if sm.dinv is None else _put(sm.dinv, gshard),
         lmax=_put(sm.lmax, NamedSharding(mesh, P())),
     )
     return dataclasses.replace(
@@ -137,13 +159,24 @@ def build_sharded_hierarchy(
     config: SolverConfig,
     mesh: Mesh,
     spec: Optional[ShardingSpec] = None,
+    lean: bool = False,
 ) -> Hierarchy:
     """Assemble the hierarchy with mesh-divisible padded storage on the
     sharded levels and lay it out over the device mesh: fine levels
-    block-sharded, coarse levels (and the dense coarse factor) replicated."""
+    block-sharded, coarse levels (and the dense coarse factor) replicated.
+
+    `lean=True` builds the O(1)-host plane-free hierarchy
+    (solver.hierarchy.build_lean_hierarchy) — its const operators carry no
+    device data, so sharding touches only b/g/lmax and the tiny class/
+    coarse tables; this is the 100M+-DOF multi-chip configuration."""
     spec = spec or config.sharding
     plan = level_padding_plan(config, mesh, spec)
-    hier = build_hierarchy(config, pad_points=plan)
+    if lean:
+        from ..solver.hierarchy import build_lean_hierarchy
+
+        hier = build_lean_hierarchy(config, pad_points=plan)
+    else:
+        hier = build_hierarchy(config, pad_points=plan)
 
     axis_names = tuple(mesh.axis_names)
     repl = NamedSharding(mesh, P())
@@ -157,22 +190,13 @@ def build_sharded_hierarchy(
         factor=_put(hier.coarse.factor, repl),
         piv=None if hier.coarse.piv is None else _put(hier.coarse.piv, repl),
     )
-    ndim = hier.finest.A.ndim
     fine_replicated = plan[-1] is None
     M_fine = _shard_stencil(hier.M_fine, mesh, axis_names, fine_replicated)
-    # ustar has shape (S, Q, cells..): shard the cell axes like the grid.
-    if fine_replicated:
-        uspec = P()
-    elif ndim == 2:
-        uspec = P(None, None, axis_names[0], axis_names[1])
-    else:
-        uspec = P(None, None, axis_names[0], axis_names[1], None)
-    err_quad = dataclasses.replace(
-        hier.err_quad, ustar=_put(hier.err_quad.ustar, NamedSharding(mesh, uspec))
-    )
+    # err_quad is all-static metadata (u* evaluated on the fly) — nothing
+    # to lay out; GSPMD partitions its iota/slice graph with the grid.
     return Hierarchy(
         levels=tuple(levels),
         coarse=coarse,
         M_fine=M_fine,
-        err_quad=err_quad,
+        err_quad=hier.err_quad,
     )
