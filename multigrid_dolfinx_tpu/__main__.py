@@ -78,7 +78,9 @@ def cmd_solve(args) -> int:
 
     from . import build_hierarchy, solve
     from .utils import csv_io
+    from .utils.compile_cache import enable_compilation_cache
 
+    enable_compilation_cache()
     cfg = _build_config(args)
     t0 = time.perf_counter()
     if args.lean:
@@ -172,7 +174,8 @@ def main(argv=None) -> int:
                     help="fused Pallas TPU kernels")
     ps.add_argument("--lean", action="store_true",
                     help="O(1)-host-memory hierarchy (constant-coefficient "
-                         "P1 only; vector-2-norm residual check)")
+                         "P1 only; keeps FEM-L2 residual and error norms "
+                         "via class-table mass + on-the-fly u*)")
     ps.add_argument("--mgcg", action="store_true",
                     help="MG-preconditioned CG instead of plain V-cycles")
     ps.add_argument("--fixed", action="store_true",

@@ -53,20 +53,29 @@ class ErrorQuadrature:
     numerically well-conditioned: the small pointwise error is formed
     first, then squared.
 
-    Static metadata (tuples, jit-cache friendly):
-      voffs[s][a]   : integer *lattice* offsets of node a of simplex s
+    Everything here is O(1) static metadata (tuples, jit-cache friendly);
+    u*(x_q) is evaluated *on the fly* at norm time from `exact_fn` and the
+    static quad-point coordinates — no (S, Q, n, .., n) ustar buffer (which
+    would cost 66 extra grid copies in 3D and forced lean mode to drop the
+    error norm entirely in round 1):
+      voffs[s][a]     : integer *lattice* offsets of node a of simplex s
       lambdas[s][q][a]: basis value phi_a at quad point q (P1: barycentric)
-      vw[s][q]      : vol_s * w_q
-      stride        : lattice step between element cells (= degree)
-    Device data:
-      ustar: (S, Q, n, .., n) manufactured-solution values at the quad
-             points of every cell.
+      vw[s][q]        : vol_s * w_q
+      xq_local[s][q]  : physical offset of quad point q inside the cell
+      h               : element size (cell origin = index * h)
+      ncells          : logical element cells per dim
+      exact_fn        : manufactured solution; traceable (plain arithmetic),
+                        so it evaluates on device under jit
+      stride          : lattice step between element cells (= degree)
     """
 
     voffs: tuple
     lambdas: tuple
     vw: tuple
-    ustar: np.ndarray
+    xq_local: tuple
+    h: float
+    ncells: int
+    exact_fn: object
     stride: int = 1
 
 
@@ -118,14 +127,11 @@ def error_quadrature(grid: GridLevel, problem: ProblemSpec) -> ErrorQuadrature:
     )
     phi_q_all = elements.nodal_basis_at(qbary, degree)     # (Q, nb)
 
-    cell_axes = [np.arange(n, dtype=np.float64) * h for _ in range(ndim)]
-    cell_origin = np.meshgrid(*cell_axes, indexing="ij")
-
     S, Q = len(simplices), len(qw)
-    ustar = np.zeros((S, Q) + (n,) * ndim, dtype=np.float64)
     vws = []
     lambdas = []
     noffs_all = []
+    xq_locals = []
     for s, voffs in enumerate(simplices):
         verts_phys = np.asarray([[cc * h for cc in v] for v in voffs])
         vol = (
@@ -141,14 +147,17 @@ def error_quadrature(grid: GridLevel, problem: ProblemSpec) -> ErrorQuadrature:
             tuple(tuple(float(phi_q_all[q, a]) for a in range(nb))
                   for q in range(Q))
         )
-        for q in range(Q):
-            xq_local = qbary[q] @ verts_phys
-            xq = [co + xo for co, xo in zip(cell_origin, xq_local)]
-            ustar[s, q] = exact_fn(*xq)
+        xq_locals.append(
+            tuple(tuple(float(x) for x in (qbary[q] @ verts_phys))
+                  for q in range(Q))
+        )
     return ErrorQuadrature(
         voffs=tuple(noffs_all),
         lambdas=tuple(lambdas),
         vw=tuple(vws),
-        ustar=ustar,
+        xq_local=tuple(xq_locals),
+        h=float(h),
+        ncells=int(n),
+        exact_fn=exact_fn,
         stride=degree,
     )

@@ -65,25 +65,29 @@ def error_norm(hier: Hierarchy, u: jax.Array) -> jax.Array:
         return jnp.array(jnp.nan, dtype=u.dtype)
     eq = hier.err_quad
     st = eq.stride
-    if st == 1:
-        # per-axis cell counts from the (possibly padded) array itself:
-        # padding cells contribute exactly zero (zero u, zero ustar)
-        ncells = tuple(s - 1 for s in u.shape)
-    else:
-        ncells = tuple(eq.ustar.shape[2:])
+    nc = eq.ncells                       # logical element cells per dim
+    ndim = u.ndim
+    cshape = (nc,) * ndim
+    # u*(x_q) is evaluated on the fly: x_q = cell_index*h + xq_local, with
+    # cell indices from broadcasted_iota — zero stored bytes (the round-1
+    # stored-ustar design cost S*Q = 66 grid copies in 3D).  Slabs slice to
+    # the logical cell box, so sharding/tile padding never enters.
+    iotas = [
+        jax.lax.broadcasted_iota(u.dtype, cshape, axis) * eq.h
+        for axis in range(ndim)
+    ]
     acc = None
     for s, voffs in enumerate(eq.voffs):
         for q, vw in enumerate(eq.vw[s]):
             interp = None
             for a, voff in enumerate(voffs):
                 slab = tuple(
-                    slice(v, v + st * (nc - 1) + 1, st)
-                    for v, nc in zip(voff, ncells)
+                    slice(v, v + st * (nc - 1) + 1, st) for v in voff
                 )
                 term = eq.lambdas[s][q][a] * u[slab]
                 interp = term if interp is None else interp + term
-            sl = tuple(slice(0, d) for d in interp.shape)
-            e = interp - eq.ustar[s, q][sl]
+            xq = [io + xo for io, xo in zip(iotas, eq.xq_local[s][q])]
+            e = interp - eq.exact_fn(*xq)
             contrib = vw * jnp.sum(e * e)
             acc = contrib if acc is None else acc + contrib
     return jnp.sqrt(jnp.maximum(acc, 0.0))

@@ -59,20 +59,36 @@ class Level:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["ustar"],
-    meta_fields=["voffs", "lambdas", "vw", "stride"],
+    data_fields=[],
+    meta_fields=["voffs", "lambdas", "vw", "xq_local", "h", "ncells",
+                 "exact_fn", "stride"],
 )
 @dataclasses.dataclass(frozen=True)
 class ErrorQuad:
-    """Device-resident error-norm quadrature data (see
-    fem.norms.ErrorQuadrature): ustar holds u*(x_q) per (simplex, quad
-    point, cell); voffs/lambdas/vw/stride are static."""
+    """Error-norm quadrature metadata (see fem.norms.ErrorQuadrature).
 
-    ustar: jax.Array
+    All-static (zero device bytes): u*(x_q) is evaluated on the fly inside
+    error_norm from `exact_fn` + the static quad-point coordinates — the
+    round-1 design stored u*(x_q) per (simplex, quad point, cell), which
+    cost 6*11 = 66 extra grid copies in 3D and made the error norm
+    unaffordable for lean (100M+ DOF) hierarchies."""
+
     voffs: tuple
     lambdas: tuple
     vw: tuple
+    xq_local: tuple
+    h: float
+    ncells: int
+    exact_fn: object
     stride: int = 1
+
+    @staticmethod
+    def from_quadrature(eq) -> "ErrorQuad":
+        return ErrorQuad(
+            voffs=eq.voffs, lambdas=eq.lambdas, vw=eq.vw,
+            xq_local=eq.xq_local, h=eq.h, ncells=eq.ncells,
+            exact_fn=eq.exact_fn, stride=eq.stride,
+        )
 
 
 @partial(
@@ -251,25 +267,11 @@ def build_hierarchy(
         dtype=dtype,
     )
     eq = error_quadrature(grids[-1], config.problem)
-    ustar = eq.ustar
-    if pad_points[-1] is not None:
-        # pad the *cell* axes to the padded point count (one past the last
-        # logical cell); error_norm slices back to u.shape[0]-1 cells and
-        # the padding contributes exactly zero.
-        tgt = (ustar.shape[0], ustar.shape[1]) + tuple(pad_points[-1])
-        pads = tuple((0, t - s) for s, t in zip(ustar.shape, tgt))
-        ustar = np.pad(ustar, pads)
     return Hierarchy(
         levels=levels,
         coarse=coarse,
         M_fine=M_fine,
-        err_quad=ErrorQuad(
-            ustar=jnp.asarray(ustar, dtype=dtype),
-            voffs=eq.voffs,
-            lambdas=eq.lambdas,
-            vw=eq.vw,
-            stride=eq.stride,
-        ),
+        err_quad=ErrorQuad.from_quadrature(eq),
     )
 
 
@@ -283,10 +285,10 @@ def build_lean_hierarchy(
     immediates, interior masks from iota), RHS/Dirichlet grids built on
     device from a tiny assembled prototype (fem.fast_const), and no stored
     Dinv.  The FEM-L2 residual norm survives via a zero-memory
-    boundary-class-table mass operator; the error-vs-exact norm is the one
-    thing dropped (error_norm reports NaN).  This is what makes 100M+-DOF
-    levels fit: only b and g cost HBM per level beyond the solution/
-    residual vectors themselves.
+    boundary-class-table mass operator, and the error-vs-exact norm via
+    on-the-fly u*(x_q) evaluation (ErrorQuad is all-static).  This is what
+    makes 100M+-DOF levels fit: only b and g cost HBM per level beyond the
+    solution/residual vectors themselves.
     """
     from ..fem.fast_const import build_const_template, device_level_arrays
 
@@ -374,9 +376,13 @@ def build_lean_hierarchy(
         grid_shape=tuple(levels[-1].shape),
         class_tables=jnp.asarray(m_tables * h_scale, dtype=dtype),
     )
+    # The error norm is all-static metadata now (u* evaluated on the fly),
+    # so lean hierarchies keep it — reference err_calculator semantics
+    # (multigrid.py:213-218) at 100M+ DOF for zero HBM.
+    eq = error_quadrature(grids[-1], config.problem)
     return Hierarchy(
         levels=tuple(levels),
         coarse=coarse,
         M_fine=M_fine,
-        err_quad=None,
+        err_quad=ErrorQuad.from_quadrature(eq),
     )

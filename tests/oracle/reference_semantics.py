@@ -138,6 +138,10 @@ def error_norm(prob: OracleProblem, u: np.ndarray) -> float:
     eq = prob.err_quad
     ug = u.reshape(prob.levels[-1].shape)
     n = ug.shape[0] - 1
+    ndim = ug.ndim
+    origins = [
+        idx * eq.h for idx in np.indices((n,) * ndim, dtype=np.float64)
+    ]
     acc = 0.0
     for s, voffs in enumerate(eq.voffs):
         for q, vw in enumerate(eq.vw[s]):
@@ -146,7 +150,8 @@ def error_norm(prob: OracleProblem, u: np.ndarray) -> float:
                 slab = tuple(slice(v, v + n) for v in voff)
                 term = eq.lambdas[s][q][a] * ug[slab]
                 interp = term if interp is None else interp + term
-            e = interp - eq.ustar[s, q]
+            xq = [o + xo for o, xo in zip(origins, eq.xq_local[s][q])]
+            e = interp - eq.exact_fn(*xq)
             acc += vw * float(np.sum(e * e))
     return float(np.sqrt(max(acc, 0.0)))
 

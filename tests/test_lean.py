@@ -43,15 +43,34 @@ def test_lean_matches_full_hierarchy(ndim, finest):
     np.testing.assert_array_equal(np.asarray(r_lean.u), np.asarray(r_full.u))
 
 
-def test_lean_error_norm_is_nan_and_resume_works():
-    cfg = models.poisson2d(finest_level=3, dtype="float32", cycle=CYC)
-    hier = build_lean_hierarchy(cfg)
-    res = solve(hier, CYC, mode="tol")
-    k = int(res.num_cycles)
-    # scale mode has no mass/error machinery: err history is NaN,
-    # residual history is the vector 2-norm (finite, decreasing)
-    assert np.all(np.isnan(np.asarray(res.err_hist)[:k]))
-    rh = np.asarray(res.res_hist)[:k]
+@pytest.mark.parametrize("ndim,finest", [(2, 3), (3, 2)])
+def test_lean_error_norm_finite_and_matches_full(ndim, finest):
+    """Scale mode keeps the FEM-L2 error-vs-exact norm (reference
+    err_calculator, multigrid.py:213-218): ErrorQuad is all-static and
+    u*(x_q) is evaluated on the fly, so lean err_hist is finite and equals
+    the full hierarchy's to fp64 roundoff."""
+    model = models.poisson2d if ndim == 2 else models.poisson3d
+    cfg = model(finest_level=finest, coarsest_level=1, dtype="float64",
+                cycle=CYC)
+    from multigrid_dolfinx_tpu.solver.fmg import error_norm
+
+    h_full = build_hierarchy(cfg)
+    h_lean = build_lean_hierarchy(cfg)
+    r_full = solve(h_full, CYC, mode="tol")
+    r_lean = solve(h_lean, CYC, mode="tol")
+    k = int(r_lean.num_cycles)
+    eh_lean = np.asarray(r_lean.err_hist)[:k]
+    eh_full = np.asarray(r_full.err_hist)[:k]
+    assert np.all(np.isfinite(eh_lean))
+    # the two solves' u differ by smoother arithmetic order (~1e-15 abs),
+    # so histories agree to ~1e-9; on the SAME u the norms agree to 1e-14.
+    np.testing.assert_allclose(eh_lean, eh_full, rtol=1e-8)
+    np.testing.assert_allclose(
+        float(error_norm(h_lean, r_full.u)),
+        float(error_norm(h_full, r_full.u)),
+        rtol=1e-14,
+    )
+    rh = np.asarray(r_lean.res_hist)[:k]
     assert np.all(np.isfinite(rh))
 
 
