@@ -47,6 +47,20 @@ def const7_weights(A: StencilOperator):
     return float(w[center]), float(offs[0])
 
 
+def pallas_planes_eligible(A: StencilOperator, shape: Tuple[int, ...],
+                           dtype) -> bool:
+    """Can the variable-coefficient (planes) kernels handle this operator?
+    Any eliminated radius-1 planes operator in 2D qualifies: Galerkin,
+    kappa(x), screened Poisson — the configurations that previously always
+    fell back to the ~20x-slower jnp path (reference capability: dolfinx's
+    general forms, Multigrid_prototype.py:88-91)."""
+    if A.planes is None or len(shape) != 2:
+        return False
+    if A.radius != 1:
+        return False
+    return jnp.dtype(dtype) == jnp.float32 and layout_aligned(shape)
+
+
 def pallas_eligible(A: StencilOperator, shape: Tuple[int, ...], dtype) -> bool:
     """Can the fused const-stencil kernels handle this operator/layout?"""
     if not (A.is_const and A.logical_m is not None):

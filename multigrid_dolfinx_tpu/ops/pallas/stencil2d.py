@@ -339,6 +339,245 @@ def _prolong_kernel(c_hbm, out_ref, cwin, stage, sem, *, tm, Mf, Wf, Mc, Wc, lmf
     out_ref[:] = jnp.where(inbox, res, jnp.zeros_like(res))
 
 
+# ----------------------------------------------------------------------
+# Variable-coefficient (planes) kernels: Galerkin / kappa(x) / screened
+# operators run at kernel speed instead of the jnp fallback.  No iota
+# masks needed: the eliminated planes carry the Dirichlet/padding
+# structure in their data (off-center bc rows are zero, bc diag is 1,
+# padding rows are all-zero), so the update formulas are mask-free except
+# for the color classes.
+# ----------------------------------------------------------------------
+
+def _pick_tm_planes(M: int, W: int, K: int, itemsize: int = 4) -> int:
+    """Row block such that the double-buffered v/f/planes windows fit the
+    VMEM budget."""
+    budget = 72 * 1024 * 1024
+    for tm in (256, 128, 64, 32, 16, 8):
+        ws = tm + 16
+        need = (2 * (K + 2) * ws + 2 * ws + tm) * W * itemsize
+        if M % tm == 0 and ws <= M and need <= budget:
+            return tm
+    raise ValueError(f"grid of {M}x{W} rows too small for planes kernels")
+
+
+def _planes_window(p_hbm, pwin, sems, i, nprog, M, ws, tm):
+    """Double-buffered (K, ws, W) window of the stencil planes."""
+    slot = jax.lax.rem(i, jnp.int32(2))
+
+    def dma(block, sl):
+        return pltpu.make_async_copy(
+            p_hbm.at[:, pl.ds(_win_start(block * tm, M, ws), ws), :],
+            pwin.at[sl], sems.at[sl],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(i + 1 < nprog)
+    def _():
+        dma(i + 1, jax.lax.rem(i + 1, jnp.int32(2))).start()
+
+    dma(i, slot).wait()
+    return pwin[slot]
+
+
+def _planes_apply(p, v, offs, skip_center=None):
+    """sum_k p[k] * v[. + off_k] via rolls (wrapped entries only reach
+    rows whose plane values are zero / that are never emitted)."""
+    acc = None
+    for k, (oi, oj) in enumerate(offs):
+        if skip_center is not None and k == skip_center:
+            continue
+        t = v
+        if oi != 0:
+            t = _roll(t, -oi, 0)
+        if oj != 0:
+            t = _roll(t, -oj, 1)
+        t = p[k] * t
+        acc = t if acc is None else acc + t
+    if acc is None:
+        acc = jnp.zeros_like(v)
+    return acc
+
+
+def _color_mask_of(gr, gc, color):
+    kind, par = color
+    if kind == "sum":
+        return ((gr + gc) % 2) == par
+    return ((gr % 2) == par[0]) & ((gc % 2) == par[1])
+
+
+def _planes_gs_kernel(v_hbm, f_hbm, p_hbm, out_ref, vwin, fwin, pwin, stage,
+                      sems, *, tm, M, W, offs, ci, colors):
+    i = pl.program_id(0)
+    r0 = i * tm
+    ws = tm + 16
+    start = _win_start(r0, M, ws)
+    nprog = pl.num_programs(0)
+    v = _db_window(v_hbm, vwin, sems.at[0], i, nprog, M, ws, tm)
+    f = _db_window(f_hbm, fwin, sems.at[1], i, nprog, M, ws, tm)
+    p = _planes_window(p_hbm, pwin, sems.at[2], i, nprog, M, ws, tm)
+    gr = start + jax.lax.broadcasted_iota(jnp.int32, (ws, W), 0)
+    gc = jax.lax.broadcasted_iota(jnp.int32, (ws, W), 1)
+    pc = p[ci]
+    dinv = 1.0 / jnp.where(pc == 0.0, jnp.ones_like(pc), pc)
+    cur = v
+    # same per-color update as ops.smoothers.multicolor_gs_smooth:
+    # v[c] <- v[c] + dinv * (f - A v)[c]
+    for color in colors:
+        acc = _planes_apply(p, cur, offs)
+        cand = cur + dinv * (f - acc)
+        cur = jnp.where(_color_mask_of(gr, gc, color), cand, cur)
+    stage[:] = cur
+    o = pl.multiple_of(r0 - start, 8)
+    out_ref[:] = stage[pl.ds(o, tm), :]
+
+
+def planes_gs_sweep(v, f, planes, offsets, axis_only: bool,
+                    interpret: bool = False):
+    """One full multicolor GS sweep on an eliminated planes operator —
+    kernel version of ops.smoothers.multicolor_gs_smooth (same color
+    order: sum-parity red-black for axis-only stencils, the 2^d
+    coordinate-parity classes otherwise)."""
+    offs = tuple(map(tuple, offsets))
+    ci = offs.index((0, 0))
+    if axis_only:
+        colors = (("sum", 0), ("sum", 1))
+    else:
+        colors = tuple(("quad", (p0, p1))
+                       for p0 in (0, 1) for p1 in (0, 1))
+    M, W = v.shape
+    K = planes.shape[0]
+    tm = _pick_tm_planes(M, W, K)
+    ws = tm + 16
+    kernel = functools.partial(
+        _planes_gs_kernel, tm=tm, M=M, W=W, offs=offs, ci=ci, colors=colors
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(M // tm,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        out_specs=pl.BlockSpec((tm, W), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(v.shape, v.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, ws, W), v.dtype),
+            pltpu.VMEM((2, ws, W), v.dtype),
+            pltpu.VMEM((2, K, ws, W), v.dtype),
+            pltpu.VMEM((ws, W), v.dtype),
+            pltpu.SemaphoreType.DMA((3, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(v, f, planes)
+
+
+def _planes_jacobi_kernel(v_hbm, f_hbm, p_hbm, out_ref, vwin, fwin, pwin,
+                          stage, sems, *, tm, M, W, offs, ci, w):
+    i = pl.program_id(0)
+    r0 = i * tm
+    ws = tm + 16
+    start = _win_start(r0, M, ws)
+    nprog = pl.num_programs(0)
+    v = _db_window(v_hbm, vwin, sems.at[0], i, nprog, M, ws, tm)
+    f = _db_window(f_hbm, fwin, sems.at[1], i, nprog, M, ws, tm)
+    p = _planes_window(p_hbm, pwin, sems.at[2], i, nprog, M, ws, tm)
+    pc = p[ci]
+    dinv = 1.0 / jnp.where(pc == 0.0, jnp.ones_like(pc), pc)
+    # (1-w) v + w (dinv f - dinv (A - D) v): reference jacobiRelaxation
+    # association (multigrid.py:223-228) with the planes R_omega formed in
+    # VMEM (off-center planes scaled by dinv).
+    acc = _planes_apply(p, v, offs, skip_center=ci)
+    stage[:] = (1.0 - w) * v + w * (dinv * f - dinv * acc)
+    o = pl.multiple_of(r0 - start, 8)
+    out_ref[:] = stage[pl.ds(o, tm), :]
+
+
+def planes_jacobi_sweep(v, f, planes, offsets, w: float,
+                        interpret: bool = False):
+    """One weighted-Jacobi sweep on an eliminated planes operator."""
+    offs = tuple(map(tuple, offsets))
+    ci = offs.index((0, 0))
+    M, W = v.shape
+    K = planes.shape[0]
+    tm = _pick_tm_planes(M, W, K)
+    ws = tm + 16
+    kernel = functools.partial(
+        _planes_jacobi_kernel, tm=tm, M=M, W=W, offs=offs, ci=ci,
+        w=float(w),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(M // tm,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        out_specs=pl.BlockSpec((tm, W), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(v.shape, v.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, ws, W), v.dtype),
+            pltpu.VMEM((2, ws, W), v.dtype),
+            pltpu.VMEM((2, K, ws, W), v.dtype),
+            pltpu.VMEM((ws, W), v.dtype),
+            pltpu.SemaphoreType.DMA((3, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(v, f, planes)
+
+
+def _planes_residual_kernel(v_hbm, f_ref, p_hbm, out_ref, vwin, pwin, stage,
+                            sems, *, tm, M, W, offs):
+    i = pl.program_id(0)
+    r0 = i * tm
+    ws = tm + 16
+    start = _win_start(r0, M, ws)
+    nprog = pl.num_programs(0)
+    v = _db_window(v_hbm, vwin, sems.at[0], i, nprog, M, ws, tm)
+    p = _planes_window(p_hbm, pwin, sems.at[1], i, nprog, M, ws, tm)
+    stage[:] = _planes_apply(p, v, offs)
+    o = pl.multiple_of(r0 - start, 8)
+    out_ref[:] = f_ref[:] - stage[pl.ds(o, tm), :]
+
+
+def planes_residual(v, f, planes, offsets, interpret: bool = False):
+    """Fused r = f - A v for an eliminated planes operator."""
+    offs = tuple(map(tuple, offsets))
+    M, W = v.shape
+    K = planes.shape[0]
+    tm = _pick_tm_planes(M, W, K)
+    ws = tm + 16
+    kernel = functools.partial(
+        _planes_residual_kernel, tm=tm, M=M, W=W, offs=offs
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(M // tm,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((tm, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((tm, W), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(v.shape, v.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, ws, W), v.dtype),
+            pltpu.VMEM((2, K, ws, W), v.dtype),
+            pltpu.VMEM((ws, W), v.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(v, f, planes)
+
+
 def prolong_linear(c_coarse, fine_shape: Tuple[int, int], lmf: int,
                    interpret: bool = False):
     """Bilinear prolongation onto the padded fine grid (zero outside the

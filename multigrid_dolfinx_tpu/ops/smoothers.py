@@ -247,6 +247,28 @@ def _pallas_rbgs(sm, A, v, f, nsweeps):
     return jax.lax.fori_loop(0, nsweeps, sweep, v)
 
 
+def _pallas_planes(sm, A, v, f, nsweeps, kind):
+    """Planes-kernel smoothing (variable-coefficient / Galerkin 2D)."""
+    from . import dispatch
+    from .pallas import stencil2d
+
+    interp = dispatch.interpret_mode()
+    axis_only = A.axis_only and A.radius == 1
+
+    def sweep(_, v):
+        if kind == "jacobi":
+            return stencil2d.planes_jacobi_sweep(
+                v, f, A.planes, A.offsets, sm.omega, interpret=interp)
+        return stencil2d.planes_gs_sweep(
+            v, f, A.planes, A.offsets, axis_only, interpret=interp)
+
+    if nsweeps <= 2:
+        for k in range(nsweeps):
+            v = sweep(k, v)
+        return v
+    return jax.lax.fori_loop(0, nsweeps, sweep, v)
+
+
 def smooth(
     sm: SmootherData,
     A: StencilOperator,
@@ -266,6 +288,9 @@ def smooth(
                 return _pallas_jacobi(sm, A, v, f, nsweeps)
             if kind == "rbgs":
                 return _pallas_rbgs(sm, A, v, f, nsweeps)
+        elif (kind in ("jacobi", "rbgs")
+              and dispatch.pallas_planes_eligible(A, v.shape, v.dtype)):
+            return _pallas_planes(sm, A, v, f, nsweeps, kind)
     if kind == "jacobi":
         return jacobi_smooth(sm, v, f, nsweeps, A=A)
     if kind == "rbgs":

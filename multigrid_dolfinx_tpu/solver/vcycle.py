@@ -52,6 +52,13 @@ def compute_residual(level, v, f, use_pallas: bool = False) -> jax.Array:
                 v, f, level.A.logical_m, wc, woff,
                 interpret=dispatch.interpret_mode(),
             )
+        if dispatch.pallas_planes_eligible(level.A, v.shape, v.dtype):
+            from ..ops.pallas import stencil2d
+
+            return stencil2d.planes_residual(
+                v, f, level.A.planes, level.A.offsets,
+                interpret=dispatch.interpret_mode(),
+            )
     return f - level.A.apply(v)
 
 
@@ -73,7 +80,9 @@ def restrict_level(r, fine_level, coarse_level, kind: str,
         from ..ops import dispatch
 
         if (
-            dispatch.pallas_eligible(fine_level.A, r.shape, r.dtype)
+            (dispatch.pallas_eligible(fine_level.A, r.shape, r.dtype)
+             or dispatch.pallas_planes_eligible(fine_level.A, r.shape,
+                                                r.dtype))
             and dispatch.layout_aligned(coarse_level.shape)
         ):
             if r.ndim == 2:
@@ -109,7 +118,10 @@ def prolong_level(vc, coarse_level, fine_level, kind: str,
         from ..ops import dispatch
 
         if (
-            dispatch.pallas_eligible(fine_level.A, fine_level.shape, vc.dtype)
+            (dispatch.pallas_eligible(fine_level.A, fine_level.shape,
+                                      vc.dtype)
+             or dispatch.pallas_planes_eligible(fine_level.A,
+                                                fine_level.shape, vc.dtype))
             and dispatch.layout_aligned(vc.shape)
         ):
             if vc.ndim == 2:

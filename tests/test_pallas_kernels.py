@@ -267,3 +267,125 @@ def test_3d_rb_fused_matches_half_sweeps(lev3d):
     got = stencil3d.rb_sweep_fused(v, f, lm, wc, woff, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-6, atol=2e-6)
+
+
+def test_pallas_solve_reference_jacobi_injection_nonzero_bc():
+    """Solve-level Pallas-vs-jnp parity at the reference's OWN smoother/
+    restriction family (weighted-Jacobi V(50,50) + injection,
+    multigrid.py:223-268) with nonzero Dirichlet boundary values
+    (uD = 1 + x^2 + 2y^2 in [1,4] on the boundary): identical cycle
+    counts and matching u through the fused 2D kernels.  Closes the
+    boundary-semantics hole: the kernel computes
+    (1-w)v + (w/4)S(v) + w*df, which is only correct because boundary
+    rows of df carry f (= uD) and the interior masks align."""
+    base = dict(nu1=50, nu2=50, smoother="jacobi",
+                restriction="injection", prolongation="bilinear",
+                tol=2e-4, max_cycles=30)
+    cyc_j = CycleSpec(**base, use_pallas=False)
+    cyc_p = CycleSpec(**base, use_pallas=True)
+    cfg_j = models.poisson2d(finest_level=3, coarsest_level=2,
+                             coarsest_elements=8, dtype="float32",
+                             cycle=cyc_j)
+    cfg_p = models.poisson2d(finest_level=3, coarsest_level=2,
+                             coarsest_elements=8, dtype="float32",
+                             cycle=cyc_p)
+    # use_pallas pads storage to (128,128) tiles; build both on that
+    # layout so the comparison isolates the kernel path.
+    pad = [(128, 128), (128, 128)]
+    hj = build_hierarchy(cfg_j, pad_points=pad)
+    hp = build_hierarchy(cfg_p, pad_points=pad)
+    rj = solve(hj, cyc_j, mode="tol")
+    rp = solve(hp, cyc_p, mode="tol")
+    assert bool(rp.converged)
+    assert int(rp.num_cycles) == int(rj.num_cycles)
+    lm = 65
+    np.testing.assert_allclose(
+        np.asarray(rp.u)[:lm, :lm], np.asarray(rj.u)[:lm, :lm],
+        rtol=2e-5, atol=2e-5,
+    )
+    # boundary rows must carry the exact Dirichlet data
+    g = np.asarray(hj.finest.g)
+    up = np.asarray(rp.u)
+    np.testing.assert_allclose(up[0, :lm], g[0, :lm], rtol=1e-6)
+    np.testing.assert_allclose(up[:lm, lm - 1], g[:lm, lm - 1], rtol=1e-6)
+
+
+# ----------------------------------------------------------------------
+# Variable-coefficient (planes) kernels
+# ----------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def lev_kappa():
+    """Pallas-padded variable-kappa 2D hierarchy (planes operators —
+    ineligible for the const kernels, exercising the planes path)."""
+    cyc = CycleSpec(nu1=2, nu2=2, smoother="rbgs", restriction="pt",
+                    tol=0.0, rtol=1e-6, max_cycles=30, use_pallas=True)
+    cfg = models.variable_coefficient_2d(
+        lambda x, y: 1.0 + x + 2.0 * y, finest_level=3, coarsest_level=2,
+        coarsest_elements=8, dtype="float32", cycle=cyc)
+    hier = build_hierarchy(cfg)
+    return cfg, hier
+
+
+def test_planes_eligibility(lev_kappa):
+    cfg, hier = lev_kappa
+    fl = hier.finest
+    assert fl.A.planes is not None
+    assert not dispatch.pallas_eligible(fl.A, fl.shape, jnp.float32)
+    assert dispatch.pallas_planes_eligible(fl.A, fl.shape, jnp.float32)
+
+
+def test_planes_jacobi_matches_jnp(lev_kappa):
+    cfg, hier = lev_kappa
+    fl = hier.finest
+    v = _rand_state(fl.shape, fl.n + 1, 11)
+    f = fl.b
+    want = jacobi_smooth(fl.sm, v, f, 1, A=fl.A)
+    got = stencil2d.planes_jacobi_sweep(v, f, fl.A.planes, fl.A.offsets,
+                                        fl.sm.omega, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+    assert np.all(np.asarray(got)[fl.n + 1:, :] == 0)
+
+
+def test_planes_gs_matches_jnp(lev_kappa):
+    cfg, hier = lev_kappa
+    fl = hier.finest
+    v = _rand_state(fl.shape, fl.n + 1, 12)
+    f = fl.b
+    want = multicolor_gs_smooth(fl.sm, fl.A, v, f, 1)
+    axis_only = fl.A.axis_only and fl.A.radius == 1
+    got = stencil2d.planes_gs_sweep(v, f, fl.A.planes, fl.A.offsets,
+                                    axis_only, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_planes_residual_matches_jnp(lev_kappa):
+    cfg, hier = lev_kappa
+    fl = hier.finest
+    v = _rand_state(fl.shape, fl.n + 1, 13)
+    f = fl.b
+    want = f - fl.A.apply(v)
+    got = stencil2d.planes_residual(v, f, fl.A.planes, fl.A.offsets,
+                                    interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_planes_full_solve_matches_jnp_path(lev_kappa):
+    """Variable-kappa solve through the planes kernels == jnp path:
+    same cycle count, same solution."""
+    cfg, hier = lev_kappa
+    rp = solve(hier, cfg.cycle, mode="tol")
+    import dataclasses as dc
+
+    cyc_j = dc.replace(cfg.cycle, use_pallas=False)
+    rj = solve(hier, cyc_j, mode="tol")
+    assert bool(rp.converged)
+    assert int(rp.num_cycles) == int(rj.num_cycles)
+    lm = hier.finest.n + 1
+    np.testing.assert_allclose(
+        np.asarray(rp.u)[:lm, :lm], np.asarray(rj.u)[:lm, :lm],
+        rtol=3e-5, atol=3e-5,
+    )
