@@ -38,6 +38,13 @@ def bench_device(ndim: int, n_elems: int, cycles: int, use_pallas: bool):
     import jax
     import jax.numpy as jnp
 
+    from multigrid_dolfinx_tpu.utils.compile_cache import (
+        enable_compilation_cache,
+    )
+
+    cache_dir = enable_compilation_cache()
+    _flush(f"compilation cache: {cache_dir}")
+
     from multigrid_dolfinx_tpu import models, solve
     from multigrid_dolfinx_tpu.config import CycleSpec
     from multigrid_dolfinx_tpu.solver.hierarchy import build_lean_hierarchy

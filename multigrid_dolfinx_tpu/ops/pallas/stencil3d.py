@@ -46,14 +46,22 @@ def _gs_candidate(f, s, interior_c, wc, woff):
     return jnp.where(interior_c, (f + (-woff) * s) / wc, f)
 
 
-def _pick_tz(Mz: int, My: int, Mx: int, itemsize: int = 4) -> int:
-    """Output z-slabs per program: big enough to amortize the 2-slab halo,
-    small enough that window + f + out + intermediates stay within the
-    VMEM budget."""
+def _pick_tz(Mz: int, My: int, Mx: int, itemsize: int = 4,
+             halo: int = 2) -> int:
+    """Output z-slabs per program: big enough to amortize the halo slabs
+    (at tz=2 a fused RB sweep reads 3x its output; at tz=4, 2x), small
+    enough that the double-buffered v/f windows + output + intermediates
+    stay within VMEM and the per-slab kernel unroll compiles in seconds
+    (tz=8 pushed Mosaic compile to ~9 min; tz=4 is ~20 s)."""
+    import os
+
     slab = My * Mx * itemsize
     budget = 56 * 1024 * 1024
-    for tz in (2, 1):
-        if Mz % tz == 0 and (4 * tz + 6) * slab <= budget:
+    env = os.environ.get("MG_TZ")
+    cand = (int(env),) if env else (4, 2, 1)
+    for tz in cand:
+        # 2 slots x 2 arrays x (tz + halo) window slabs + tz output slabs
+        if Mz % tz == 0 and (4 * (tz + halo) + tz) * slab <= budget:
             return tz
     return 1
 
@@ -278,7 +286,7 @@ def _rb_fused_kernel(zb_ref, v_hbm, f_hbm, out_ref, vwin, fwin, sems, *,
 def rb_sweep_fused(v, f, lm, wc, woff, interpret=False, z_base=None):
     """One full red-black GS sweep (both colors) in a single HBM pass."""
     Mz, My, Mx = v.shape
-    tz = _pick_tz(Mz, My, Mx)
+    tz = _pick_tz(Mz, My, Mx, halo=4)
     if tz % 2 != 0:
         # odd block: window offsets would lose their parity invariant;
         # fall back to two half-sweeps (tiny z extents only)
