@@ -46,8 +46,11 @@ def simplex_vertex_offsets(ndim: int, diagonal: str = "right") -> List[List[Offs
     its default 'right' diagonal, cf. reference Multigrid_prototype.py:65-66);
     'left' splits along (1,0)-(0,1).
 
-    3D: Kuhn/Freudenthal decomposition into 6 tetrahedra all sharing the
-    main diagonal (0,..,0)-(1,..,1).
+    3D: Kuhn/Freudenthal decomposition into 6 tetrahedra all sharing a
+    main diagonal: (0,0,0)-(1,1,1) for `diagonal='right'`, the x-mirrored
+    (1,0,0)-(0,1,1) for 'left' (the uniform mirrored Kuhn mesh — the
+    analogue of dolfinx's alternative cube diagonal directions; conforming
+    because every cell uses the same affine relabeling).
     """
     if ndim == 2:
         if diagonal == "right":
@@ -71,6 +74,12 @@ def simplex_vertex_offsets(ndim: int, diagonal: str = "right") -> List[List[Offs
                 cur[axis] = 1
                 v.append(tuple(cur))
             simplices.append(v)
+        if diagonal == "left":
+            simplices = [
+                [(1 - vx, vy, vz) for (vx, vy, vz) in s] for s in simplices
+            ]
+        elif diagonal != "right":
+            raise ValueError(f"bad diagonal {diagonal!r}")
         return simplices
     raise ValueError(f"ndim must be 2 or 3, got {ndim}")
 

@@ -77,3 +77,82 @@ def test_p2_variable_coefficient_converges():
     res = solve(hier, cfg.cycle, mode="tol")
     assert bool(res.converged)
     assert int(res.num_cycles) < 40
+
+
+# ----------------------------------------------------------------------
+# P2 in 3D (Kuhn tetrahedra, half-step DOF lattice) + 3D diagonal variants
+# ----------------------------------------------------------------------
+
+def test_p2_3d_direct_solve_is_exact_for_quadratic():
+    """P2 on Kuhn tets contains the quadratic u*, so the assembled system's
+    direct solve reproduces it to roundoff (the 3D analogue of the CG2
+    'exact' space, reference Multigrid_prototype.py:126-130)."""
+    from scipy.sparse.linalg import spsolve
+    from multigrid_dolfinx_tpu.fem.assembly import (
+        assemble_level, stencil_to_csr,
+    )
+    from multigrid_dolfinx_tpu.mesh import GridLevel
+    from multigrid_dolfinx_tpu.config import ProblemSpec
+
+    p = ProblemSpec(ndim=3, degree=2, rhs_const=-12.0)
+    asm = assemble_level(GridLevel(level=0, ndim=3, n=4), p)
+    A = stencil_to_csr(asm.offsets, asm.A_planes)
+    u = spsolve(A.tocsc(), asm.b.reshape(-1))
+    x, y, z = asm.grid.coords()
+    ustar = (1.0 + x ** 2 + 2.0 * y ** 2 + 3.0 * z ** 2).reshape(-1)
+    np.testing.assert_allclose(u, ustar, rtol=1e-10, atol=1e-10)
+
+
+def test_p2_3d_multigrid_converges_to_exact():
+    """3D P2 Galerkin multigrid lands on u* at solver tolerance (jacobi
+    smoothing: the radius-2 lattice stencil would need 27 GS color
+    classes)."""
+    from multigrid_dolfinx_tpu.config import (
+        HierarchySpec, ProblemSpec, SolverConfig,
+    )
+
+    cyc = CycleSpec(nu1=3, nu2=3, smoother="jacobi", restriction="pt",
+                    tol=0.0, rtol=1e-10, max_cycles=60)
+    cfg = SolverConfig(
+        problem=ProblemSpec(ndim=3, degree=2, rhs_const=-12.0),
+        hierarchy=HierarchySpec(coarsest_elements=2, coarsest_level=1,
+                                finest_level=2, coarse_operator="galerkin"),
+        cycle=cyc, dtype="float64",
+    )
+    hier = build_hierarchy(cfg)
+    res = solve(hier, cyc, mode="tol")
+    assert bool(res.converged)
+    m = hier.finest.n + 1
+    xs = np.linspace(0.0, 1.0, m)
+    X, Y, Z = np.meshgrid(xs, xs, xs, indexing="ij")
+    ustar = 1.0 + X ** 2 + 2.0 * Y ** 2 + 3.0 * Z ** 2
+    assert np.abs(np.asarray(res.u) - ustar).max() < 1e-8
+
+
+def test_3d_left_diagonal_matches_right():
+    """The mirrored-Kuhn ('left') decomposition yields the same 7-point
+    const Laplacian and the same convergence/error behavior as 'right'
+    (the dolfinx cube-diagonal capability axis)."""
+    from multigrid_dolfinx_tpu.config import (
+        HierarchySpec, ProblemSpec, SolverConfig,
+    )
+
+    results = {}
+    for diag in ("right", "left"):
+        cyc = CycleSpec(nu1=2, nu2=2, smoother="rbgs", restriction="pt",
+                        tol=0.0, rtol=1e-8, max_cycles=40)
+        cfg = SolverConfig(
+            problem=ProblemSpec(ndim=3, rhs_const=-12.0, diagonal=diag),
+            hierarchy=HierarchySpec(coarsest_elements=4, coarsest_level=1,
+                                    finest_level=2),
+            cycle=cyc, dtype="float64",
+        )
+        hier = build_hierarchy(cfg)
+        assert hier.finest.A.const_weights is not None
+        res = solve(hier, cyc, mode="tol")
+        assert bool(res.converged)
+        k = int(res.num_cycles)
+        results[diag] = (k, float(np.asarray(res.err_hist)[k - 1]))
+    assert results["right"][0] == results["left"][0]
+    np.testing.assert_allclose(results["right"][1], results["left"][1],
+                               rtol=1e-10)
