@@ -42,8 +42,12 @@ def _masks3(z0, shape, lm):
 
 def _gs_candidate(f, s, interior_c, wc, woff):
     """GS/Jacobi update value: (f + |w| * S)/wc on the interior, f on
-    bc/padding rows (padding f = 0 keeps padding at 0)."""
-    return jnp.where(interior_c, (f + (-woff) * s) / wc, f)
+    bc/padding rows (padding f = 0 keeps padding at 0).  wc is a
+    compile-time float, so the divide is a reciprocal multiply (VPU f32
+    division is several times a multiply; two of these run per element
+    per RB stage)."""
+    inv_wc = 1.0 / wc
+    return jnp.where(interior_c, (f + (-woff) * s) * inv_wc, f)
 
 
 def _pick_tz(Mz: int, My: int, Mx: int, itemsize: int = 4,
@@ -160,6 +164,160 @@ def _call_windowed(body, v, f, lm, interpret, z_base=None, **kw):
 
 
 # ----------------------------------------------------------------------
+# Rolling-window plumbing: each grid block inherits the previous block's
+# window tail by VMEM copy and DMAs ONLY its tz new slabs of v and f, so
+# a full sweep moves exactly 3 array passes over HBM (new v, new f, out)
+# — the halo re-read of the plain windowed path ((tz+2h)/tz per array)
+# disappears.  The TPU grid is sequential, so scratch persists between
+# blocks; the new-slab DMA for block i+1 is issued during block i
+# (double-buffered via vnew/fnew slots).  Blocks 0 and the clamped tail
+# block fall back to full-window DMAs via the same start() formula.
+# ----------------------------------------------------------------------
+
+def _rolling_kernel(prelude, emit):
+    """prelude(v, f, z0, shape3, lm, **kw) runs ONCE per window (e.g. the
+    red half-sweep); emit(aux, v, f, z0, shape3, lm, oc, tz, **kw) runs
+    inside the static output-offset branch and returns only the tz output
+    slabs — the window's halo slabs never pay for the final stage."""
+
+    def kernel(zb_ref, v_hbm, f_hbm, out_ref, vwin, fwin, vnew, fnew, ttmp,
+               sems, *, Mz, My, Mx, lm, tz, h, **kw):
+        i = pl.program_id(0)
+        nprog = pl.num_programs(0)
+        ws = tz + 2 * h
+        zb = zb_ref[0, 0]
+        h2 = 2 * h
+
+        def start(block):
+            return jnp.clip(block * tz - h, 0, Mz - ws)
+
+        def new_copies(block, slot):
+            z0 = start(block) + h2
+            return (
+                pltpu.make_async_copy(
+                    v_hbm.at[pl.ds(z0, tz), :, :], vnew.at[slot],
+                    sems.at[slot, 0]),
+                pltpu.make_async_copy(
+                    f_hbm.at[pl.ds(z0, tz), :, :], fnew.at[slot],
+                    sems.at[slot, 1]),
+            )
+
+        @pl.when(i == 0)
+        def _():
+            cv = pltpu.make_async_copy(
+                v_hbm.at[pl.ds(start(0), ws), :, :], vwin, sems.at[2, 0])
+            cf = pltpu.make_async_copy(
+                f_hbm.at[pl.ds(start(0), ws), :, :], fwin, sems.at[2, 1])
+            cv.start()
+            cf.start()
+            if nprog > 1:
+                for c in new_copies(1, 1):
+                    c.start()
+            cv.wait()
+            cf.wait()
+
+        @pl.when(i > 0)
+        def _():
+            # roll the inherited tail down (via ttmp — ranges can overlap)
+            shift = start(i) - start(i - 1)
+            ttmp[:] = vwin[pl.ds(shift, h2)]
+            vwin[:h2] = ttmp[:]
+            ttmp[:] = fwin[pl.ds(shift, h2)]
+            fwin[:h2] = ttmp[:]
+            slot = jax.lax.rem(i, jnp.int32(2))
+            for c in new_copies(i, slot):
+                c.wait()
+            vwin[h2:] = vnew[slot]
+            fwin[h2:] = fnew[slot]
+            if nprog > 2:
+                @pl.when(i + 1 < nprog)
+                def _():
+                    for c in new_copies(
+                            i + 1, jax.lax.rem(i + 1, jnp.int32(2))):
+                        c.start()
+
+        v = vwin[:]
+        f = fwin[:]
+        z0g = start(i) + zb
+        shape3 = (ws, My, Mx)
+        aux = prelude(v, f, z0g, shape3, lm, **kw)
+        o = i * tz - start(i)                      # 0, h, or 2h
+        for oc in sorted({0, h, h2}):
+            @pl.when(o == oc)
+            def _(oc=oc):
+                outs = emit(aux, v, f, z0g, shape3, lm, oc, tz, **kw)
+                for sl in range(tz):
+                    out_ref[sl] = outs[sl]
+
+    return kernel
+
+
+def _pick_tz_rolling(Mz, My, Mx, h, itemsize: int = 4) -> int:
+    import os
+
+    slab = My * Mx * itemsize
+    budget = 72 * 1024 * 1024
+    env = os.environ.get("MG_TZ")
+    cand = (int(env),) if env else (4, 2, 1)
+    for tz in cand:
+        ws = tz + 2 * h
+        need = (2 * ws + 4 * tz + 2 * h + tz) * slab
+        if Mz % tz == 0 and ws <= Mz and need <= budget:
+            return tz
+    return 0
+
+
+def _call_rolling(prelude, emit, v, f, lm, h, interpret, z_base=None, **kw):
+    """Rolling-window pallas_call; returns None if the shape doesn't admit
+    it (caller falls back to the plain windowed path).  MG_ROLLING=0
+    disables it globally (debug/fallback knob)."""
+    import os
+
+    if os.environ.get("MG_ROLLING", "1") != "1":
+        return None
+    if z_base is not None:
+        # distributed halo blocks carry real data on their window edges;
+        # the rolling kernels' emit-only-output optimization relies on the
+        # single-device padding guarantees (>= 1 z-padding slab, domain
+        # boundary at z=0) — those shards use the plain windowed path.
+        return None
+    Mz, My, Mx = v.shape
+    tz = _pick_tz_rolling(Mz, My, Mx, h)
+    if tz == 0 or Mz // tz < 2:
+        return None
+    ws = tz + 2 * h
+    kernel = functools.partial(
+        _rolling_kernel(prelude, emit), Mz=Mz, My=My, Mx=Mx, lm=lm, tz=tz,
+        h=h, **kw
+    )
+    zb = jnp.full((1, 1), 0 if z_base is None else z_base, jnp.int32)
+    return pl.pallas_call(
+        kernel,
+        grid=(Mz // tz,),
+        in_specs=[
+            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((tz, My, Mx), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(v.shape, v.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((ws, My, Mx), v.dtype),
+            pltpu.VMEM((ws, My, Mx), v.dtype),
+            pltpu.VMEM((2, tz, My, Mx), v.dtype),
+            pltpu.VMEM((2, tz, My, Mx), v.dtype),
+            pltpu.VMEM((2 * h, My, Mx), v.dtype),
+            pltpu.SemaphoreType.DMA((3, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(zb, v, f)
+
+
+# ----------------------------------------------------------------------
 # Sweeps
 # ----------------------------------------------------------------------
 
@@ -202,6 +360,60 @@ def rb_half_sweep(v, f, lm, wc, woff, parity, interpret=False,
         _half_rb_body, v, f, lm, interpret, z_base=z_base,
         wc=float(wc), woff=float(woff), parity=int(parity),
     )
+
+
+def _ypx(plane_shape):
+    return (
+        jax.lax.broadcasted_iota(jnp.int32, plane_shape, 0)
+        + jax.lax.broadcasted_iota(jnp.int32, plane_shape, 1)
+    ) % 2
+
+
+def _nbr_sum(vt, s, ws):
+    """6-neighbor sum for slab s of a masked window; out-of-window z
+    neighbors contribute zero (those candidates are always masked: the
+    window edge slabs are either domain boundary or >= 2 slabs of z
+    padding)."""
+    c = vt[s]
+    lo = vt[s - 1] if s > 0 else jnp.zeros_like(c)
+    hi = vt[s + 1] if s < ws - 1 else jnp.zeros_like(c)
+    return (
+        lo + hi
+        + _roll(c, 1, 0) + _roll(c, -1, 0)
+        + _roll(c, 1, 1) + _roll(c, -1, 1)
+    )
+
+
+def _rb_prelude(v, f, z0, shape3, lm, *, wc, woff):
+    """Red half-sweep over window slabs 0..ws-2.  Slab ws-1 passes through
+    un-updated: the only black outputs that read its red value sit in z
+    padding (>= 2 slabs on every stored grid) and are masked."""
+    ws = shape3[0]
+    _, _, _, interior = _masks3(z0, shape3, lm)
+    ypx = _ypx(shape3[1:])
+    vt = jnp.where(interior, v, jnp.zeros_like(v))
+    outs = []
+    for s in range(ws - 1):
+        cand = _gs_candidate(f[s], _nbr_sum(vt, s, ws), interior[s],
+                             wc, woff)
+        target = (z0 + s) % 2
+        outs.append(jnp.where(ypx == target, cand, v[s]))
+    outs.append(v[ws - 1])
+    return jnp.stack(outs, axis=0), interior, ypx
+
+
+def _rb_emit(aux, v, f, z0, shape3, lm, oc, tz, *, wc, woff):
+    """Black half-sweep for the tz output slabs only."""
+    v1, interior, ypx = aux
+    ws = shape3[0]
+    vt = jnp.where(interior, v1, jnp.zeros_like(v1))
+    outs = []
+    for s in range(oc, oc + tz):
+        cand = _gs_candidate(f[s], _nbr_sum(vt, s, ws), interior[s],
+                             wc, woff)
+        target = (1 + z0 + s) % 2
+        outs.append(jnp.where(ypx == target, cand, v1[s]))
+    return outs
 
 
 def _rb_fused_kernel(zb_ref, v_hbm, f_hbm, out_ref, vwin, fwin, sems, *,
@@ -284,7 +496,15 @@ def _rb_fused_kernel(zb_ref, v_hbm, f_hbm, out_ref, vwin, fwin, sems, *,
 
 
 def rb_sweep_fused(v, f, lm, wc, woff, interpret=False, z_base=None):
-    """One full red-black GS sweep (both colors) in a single HBM pass."""
+    """One full red-black GS sweep (both colors) in a single HBM pass —
+    exactly 3 array passes (new v slabs, new f slabs, output) on the
+    rolling-window path."""
+    out = _call_rolling(
+        _rb_prelude, _rb_emit, v, f, lm, 2, interpret, z_base=z_base,
+        wc=float(wc), woff=float(woff),
+    )
+    if out is not None:
+        return out
     Mz, My, Mx = v.shape
     tz = _pick_tz(Mz, My, Mx, halo=4)
     if tz % 2 != 0:
@@ -323,6 +543,35 @@ def rb_sweep_fused(v, f, lm, wc, woff, interpret=False, z_base=None):
     )(zb, v, f)
 
 
+def _pw_prelude(v, f, z0, shape3, lm, **kw):
+    """Shared single-stage prelude: interior mask + masked window."""
+    _, _, _, interior = _masks3(z0, shape3, lm)
+    vt = jnp.where(interior, v, jnp.zeros_like(v))
+    return interior, vt
+
+
+def _jacobi_emit(aux, v, f, z0, shape3, lm, oc, tz, *, wc, woff, omega):
+    interior, vt = aux
+    ws = shape3[0]
+    outs = []
+    for s in range(oc, oc + tz):
+        cand = _gs_candidate(f[s], _nbr_sum(vt, s, ws), interior[s],
+                             wc, woff)
+        outs.append((1.0 - omega) * v[s] + omega * cand)
+    return outs
+
+
+def _residual_emit(aux, v, f, z0, shape3, lm, oc, tz, *, wc, woff):
+    interior, vt = aux
+    ws = shape3[0]
+    outs = []
+    for s in range(oc, oc + tz):
+        av = jnp.where(interior[s],
+                       wc * vt[s] + woff * _nbr_sum(vt, s, ws), v[s])
+        outs.append(f[s] - av)
+    return outs
+
+
 def _jacobi_body(v, f, z0, shape3, lm, *, wc, woff, omega):
     ws = shape3[0]
     _, _, _, interior = _masks3(z0, shape3, lm)
@@ -345,6 +594,12 @@ def _jacobi_body(v, f, z0, shape3, lm, *, wc, woff, omega):
 def jacobi_sweep(v, f, lm, wc, woff, omega, interpret=False, z_base=None):
     """One weighted-Jacobi sweep: v' = (1-w) v + w D^-1 (f - (A - D) v),
     reference association (multigrid.py:223-228) on the const-7 stencil."""
+    out = _call_rolling(
+        _pw_prelude, _jacobi_emit, v, f, lm, 1, interpret, z_base=z_base,
+        wc=float(wc), woff=float(woff), omega=float(omega),
+    )
+    if out is not None:
+        return out
     return _call_windowed(
         _jacobi_body, v, f, lm, interpret, z_base=z_base,
         wc=float(wc), woff=float(woff), omega=float(omega),
@@ -372,6 +627,12 @@ def _residual_body(v, f, z0, shape3, lm, *, wc, woff):
 
 def residual(v, f, lm, wc, woff, interpret=False, z_base=None):
     """Fused r = f - A v for the const-7 operator."""
+    out = _call_rolling(
+        _pw_prelude, _residual_emit, v, f, lm, 1, interpret, z_base=z_base,
+        wc=float(wc), woff=float(woff)
+    )
+    if out is not None:
+        return out
     return _call_windowed(
         _residual_body, v, f, lm, interpret, z_base=z_base,
         wc=float(wc), woff=float(woff)
@@ -403,11 +664,25 @@ def _plane_restrict(g, lmf, lmc, Wc_out):
 def _restrict_kernel(r_hbm, out_ref, rwin, sem, *, Mzf, Myf, Mxf,
                      Mzc, Myc, Mxc, lmf, lmc):
     i = pl.program_id(0)         # coarse z-slab index
+    nprog = pl.num_programs(0)
     zs = jnp.clip(2 * i - 1, 0, Mzf - 3)
-    cp = pltpu.make_async_copy(r_hbm.at[pl.ds(zs, 3), :, :], rwin, sem)
-    cp.start()
-    cp.wait()
-    r = rwin[:]
+    slot = jax.lax.rem(i, jnp.int32(2))
+
+    def dma(block, sl):
+        z0 = jnp.clip(2 * block - 1, 0, Mzf - 3)
+        return pltpu.make_async_copy(
+            r_hbm.at[pl.ds(z0, 3), :, :], rwin.at[sl], sem.at[sl])
+
+    @pl.when(i == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(i + 1 < nprog)
+    def _():
+        dma(i + 1, jax.lax.rem(i + 1, jnp.int32(2))).start()
+
+    dma(i, slot).wait()
+    r = rwin[slot]
     _, _, _, interior = _masks3(zs, (3, Myf, Mxf), lmf)
     rt = jnp.where(interior, r, jnp.zeros_like(r))
     # z-combination [1 2 1] centered on fine z = 2i; window slab of fine
@@ -460,8 +735,8 @@ def restrict_pt(r_fine, coarse_shape: Tuple[int, int, int], lmf: int,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(coarse_shape, r_fine.dtype),
         scratch_shapes=[
-            pltpu.VMEM((3, Myf, Mxf), r_fine.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, 3, Myf, Mxf), r_fine.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -484,11 +759,25 @@ def _plane_prolong(c, Mxf_out):
 def _prolong_kernel(c_hbm, out_ref, cwin, sem, *, Mzf, Myf, Mxf,
                     Mzc, Myc, Mxc, lmf):
     i = pl.program_id(0)          # fine z-slab PAIR index: fine z = 2i, 2i+1
+    nprog = pl.num_programs(0)
     zc = jnp.clip(i, 0, Mzc - 2)
-    cp = pltpu.make_async_copy(c_hbm.at[pl.ds(zc, 2), :, :], cwin, sem)
-    cp.start()
-    cp.wait()
-    c = cwin[:]
+    slot = jax.lax.rem(i, jnp.int32(2))
+
+    def dma(block, sl):
+        z0 = jnp.clip(block, 0, Mzc - 2)
+        return pltpu.make_async_copy(
+            c_hbm.at[pl.ds(z0, 2), :, :], cwin.at[sl], sem.at[sl])
+
+    @pl.when(i == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(i + 1 < nprog)
+    def _():
+        dma(i + 1, jax.lax.rem(i + 1, jnp.int32(2))).start()
+
+    dma(i, slot).wait()
+    c = cwin[slot]
     o = i - zc                    # 0 normally; 1 only in the clamped tail
 
     for oc in (0, 1):
@@ -525,8 +814,8 @@ def prolong_linear(c_coarse, fine_shape: Tuple[int, int, int], lmf: int,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(fine_shape, c_coarse.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, Myc, Mxc), c_coarse.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, 2, Myc, Mxc), c_coarse.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
