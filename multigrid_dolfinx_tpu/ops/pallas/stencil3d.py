@@ -756,8 +756,17 @@ def _plane_prolong(c, Mxf_out):
     return full[:, :Mxf_out]
 
 
-def _prolong_kernel(c_hbm, out_ref, cwin, sem, *, Mzf, Myf, Mxf,
-                    Mzc, Myc, Mxc, lmf):
+def _prolong_kernel(c_hbm, *rest, Mzf, Myf, Mxf, Mzc, Myc, Mxc, lmf,
+                    fused_add):
+    # fused_add: rest = (v_ref, out_ref, cwin, sem) and the kernel emits
+    # v + P(c) — the V-cycle correction step in the same HBM pass (the
+    # separate XLA add costs 3 extra array passes).  Else rest =
+    # (out_ref, cwin, sem).
+    if fused_add:
+        v_ref, out_ref, cwin, sem = rest
+    else:
+        out_ref, cwin, sem = rest
+        v_ref = None
     i = pl.program_id(0)          # fine z-slab PAIR index: fine z = 2i, 2i+1
     nprog = pl.num_programs(0)
     zc = jnp.clip(i, 0, Mzc - 2)
@@ -794,7 +803,8 @@ def _prolong_kernel(c_hbm, out_ref, cwin, sem, *, Mzf, Myf, Mxf,
                 yf = jax.lax.broadcasted_iota(jnp.int32, plane.shape, 0)
                 xf = jax.lax.broadcasted_iota(jnp.int32, plane.shape, 1)
                 mask = (zf <= lmf - 1) & (yf <= lmf - 1) & (xf <= lmf - 1)
-                out_ref[sl] = jnp.where(mask, plane, jnp.zeros_like(plane))
+                e = jnp.where(mask, plane, jnp.zeros_like(plane))
+                out_ref[sl] = (v_ref[sl] + e) if fused_add else e
 
 
 def prolong_linear(c_coarse, fine_shape: Tuple[int, int, int], lmf: int,
@@ -804,7 +814,7 @@ def prolong_linear(c_coarse, fine_shape: Tuple[int, int, int], lmf: int,
     Mzf, Myf, Mxf = fine_shape
     kernel = functools.partial(
         _prolong_kernel, Mzf=Mzf, Myf=Myf, Mxf=Mxf,
-        Mzc=Mzc, Myc=Myc, Mxc=Mxc, lmf=lmf,
+        Mzc=Mzc, Myc=Myc, Mxc=Mxc, lmf=lmf, fused_add=False,
     )
     return pl.pallas_call(
         kernel,
@@ -822,3 +832,34 @@ def prolong_linear(c_coarse, fine_shape: Tuple[int, int, int], lmf: int,
         ),
         interpret=interpret,
     )(c_coarse)
+
+
+def prolong_linear_add(c_coarse, v_fine, lmf: int, interpret: bool = False):
+    """Fused correction step v + P(c): trilinear prolongation and the
+    V-cycle add in one HBM pass (reference multigrid.py:258-260)."""
+    Mzc, Myc, Mxc = c_coarse.shape
+    Mzf, Myf, Mxf = v_fine.shape
+    kernel = functools.partial(
+        _prolong_kernel, Mzf=Mzf, Myf=Myf, Mxf=Mxf,
+        Mzc=Mzc, Myc=Myc, Mxc=Mxc, lmf=lmf, fused_add=True,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(Mzf // 2,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((2, Myf, Mxf), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((2, Myf, Mxf), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(v_fine.shape, v_fine.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, Myc, Mxc), c_coarse.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(c_coarse, v_fine)

@@ -389,3 +389,24 @@ def test_planes_full_solve_matches_jnp_path(lev_kappa):
         np.asarray(rp.u)[:lm, :lm], np.asarray(rj.u)[:lm, :lm],
         rtol=3e-5, atol=3e-5,
     )
+
+
+def test_3d_prolong_add_matches_separate(lev3d):
+    """Fused v + P(c) kernel == prolong then add (the V-cycle correction,
+    reference multigrid.py:258-260, in one HBM pass)."""
+    from multigrid_dolfinx_tpu.ops.pallas import stencil3d
+
+    cfg, hier = lev3d
+    fl = hier.finest
+    cl = hier.levels[-2]
+    lmf = fl.n + 1
+    lmc = cl.n + 1
+    rng = np.random.default_rng(21)
+    c = np.zeros(cl.shape, np.float32)
+    c[:lmc, :lmc, :lmc] = rng.standard_normal((lmc,) * 3)
+    v = _rand3(fl.shape, lmf, 22)
+    c = jnp.asarray(c)
+    want = v + stencil3d.prolong_linear(c, fl.shape, lmf, interpret=True)
+    got = stencil3d.prolong_linear_add(c, v, lmf, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-6, atol=2e-6)
