@@ -53,7 +53,7 @@ def bench_device(ndim: int, n_elems: int, cycles: int, use_pallas: bool):
     finest = int(math.log2(n_elems // 8))
     cyc = CycleSpec(nu1=2, nu2=2, smoother="rbgs", restriction="pt",
                     tol=0.0, rtol=1e-8, max_cycles=40,
-                    use_pallas=use_pallas)
+                    use_pallas=use_pallas, track_error=False)
     model = models.poisson3d if ndim == 3 else models.poisson2d
     cfg = model(finest_level=finest, coarsest_level=max(0, finest - 6),
                 dtype="float32", cycle=cyc)

@@ -58,6 +58,7 @@ def _build_config(args):
         tol=args.tol,
         max_cycles=args.max_cycles,
         use_pallas=args.pallas,
+        track_error=not args.no_track_error,
     )
     return SolverConfig(
         problem=problem, hierarchy=hierarchy, cycle=cycle, dtype=args.dtype
@@ -176,6 +177,9 @@ def main(argv=None) -> int:
                     help="O(1)-host-memory hierarchy (constant-coefficient "
                          "P1 only; keeps FEM-L2 residual and error norms "
                          "via class-table mass + on-the-fly u*)")
+    ps.add_argument("--no-track-error", action="store_true",
+                    help="skip the per-cycle FEM-L2 error-vs-exact norm "
+                         "(S*Q compute passes per cycle at scale)")
     ps.add_argument("--mgcg", action="store_true",
                     help="MG-preconditioned CG instead of plain V-cycles")
     ps.add_argument("--fixed", action="store_true",

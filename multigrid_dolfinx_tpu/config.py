@@ -132,6 +132,12 @@ class CycleSpec:
     # Fused Pallas TPU kernels for the hot ops (requires/implies padded
     # (8,128)-aligned level storage; falls back per-op when ineligible).
     use_pallas: bool = False
+    # Record the FEM-L2 error-vs-exact norm every finest cycle (reference
+    # err_calculator, multigrid.py:292-295).  True matches the reference;
+    # at 100M+ DOF the on-the-fly quadrature costs S*Q (= 66 in 3D)
+    # compute passes per cycle, so production solves can turn it off
+    # (err_hist is then NaN; convergence checks use the residual only).
+    track_error: bool = True
 
     def __post_init__(self):
         if self.smoother not in ("jacobi", "rbgs", "chebyshev"):

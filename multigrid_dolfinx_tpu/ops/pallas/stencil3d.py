@@ -157,7 +157,7 @@ def _call_windowed(body, v, f, lm, interpret, z_base=None, **kw):
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=112 * 1024 * 1024,
         ),
         interpret=interpret,
     )(zb, v, f)
@@ -256,12 +256,15 @@ def _pick_tz_rolling(Mz, My, Mx, h, itemsize: int = 4) -> int:
     import os
 
     slab = My * Mx * itemsize
-    budget = 72 * 1024 * 1024
+    # scratch (windows + staging + ttmp + out block) plus ~3*ws slabs of
+    # Mosaic stack for the kernel-body intermediates (masked window, the
+    # stacked red result, iota masks) must fit the 112M vmem limit.
+    budget = 100 * 1024 * 1024
     env = os.environ.get("MG_TZ")
     cand = (int(env),) if env else (4, 2, 1)
     for tz in cand:
         ws = tz + 2 * h
-        need = (2 * ws + 4 * tz + 2 * h + tz) * slab
+        need = (2 * ws + 4 * tz + 2 * h + tz + 3 * ws) * slab
         if Mz % tz == 0 and ws <= Mz and need <= budget:
             return tz
     return 0
@@ -311,7 +314,7 @@ def _call_rolling(prelude, emit, v, f, lm, h, interpret, z_base=None, **kw):
             pltpu.SemaphoreType.DMA((3, 2)),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=112 * 1024 * 1024,
         ),
         interpret=interpret,
     )(zb, v, f)
@@ -537,7 +540,7 @@ def rb_sweep_fused(v, f, lm, wc, woff, interpret=False, z_base=None):
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=112 * 1024 * 1024,
         ),
         interpret=interpret,
     )(zb, v, f)
@@ -739,7 +742,7 @@ def restrict_pt(r_fine, coarse_shape: Tuple[int, int, int], lmf: int,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=112 * 1024 * 1024,
         ),
         interpret=interpret,
     )(r_fine)
@@ -828,7 +831,7 @@ def prolong_linear(c_coarse, fine_shape: Tuple[int, int, int], lmf: int,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=112 * 1024 * 1024,
         ),
         interpret=interpret,
     )(c_coarse)
@@ -859,7 +862,7 @@ def prolong_linear_add(c_coarse, v_fine, lmf: int, interpret: bool = False):
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=112 * 1024 * 1024,
         ),
         interpret=interpret,
     )(c_coarse, v_fine)

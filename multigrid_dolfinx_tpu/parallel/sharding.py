@@ -125,7 +125,7 @@ def shard_level(level: Level, mesh: Mesh, axis_names, replicate: bool) -> Level:
         A=_shard_stencil(level.A, mesh, axis_names, replicate),
         sm=sm,
         b=_put(level.b, gshard),
-        g=_put(level.g, gshard),
+        g=None if level.g is None else _put(level.g, gshard),
     )
 
 

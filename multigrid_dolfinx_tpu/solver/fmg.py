@@ -119,7 +119,7 @@ def tolerance_solve(
         v = vcycle(hier, spec, L, v, f)
         r = compute_residual(hier.finest, v, f, use_pallas=spec.use_pallas)
         rn = residual_norm(hier, r)
-        en = error_norm(hier, v)
+        en = error_norm(hier, v) if spec.track_error else nan
         res_h = res_h.at[k].set(rn)
         err_h = err_h.at[k].set(en)
         rn0 = jnp.where(k == 0, rn, rn0)
@@ -207,8 +207,9 @@ def fmg_solve(
     f = hier.finest.b
     r = f - A_fine.apply(v)
     rn = residual_norm(hier, r)
-    en = error_norm(hier, v)
     dtype = v.dtype
+    en = (error_norm(hier, v) if spec.track_error
+          else jnp.array(jnp.nan, dtype=dtype))
     res_h = jnp.full((spec.max_cycles,), jnp.nan, dtype=dtype).at[0].set(rn)
     err_h = jnp.full((spec.max_cycles,), jnp.nan, dtype=dtype).at[0].set(en)
     result = SolveResult(

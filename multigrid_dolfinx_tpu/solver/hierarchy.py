@@ -278,6 +278,7 @@ def build_hierarchy(
 def build_lean_hierarchy(
     config: SolverConfig,
     pad_points: Optional[Sequence[Optional[Tuple[int, ...]]]] = None,
+    store_g: bool = True,
 ) -> Hierarchy:
     """Scale-mode hierarchy for constant-coefficient P1: O(1) host memory.
 
@@ -327,6 +328,11 @@ def build_lean_hierarchy(
     levels = []
     for g, pp in zip(grids, pad_points):
         b, gdir = device_level_arrays(template, g, config.problem, dtype, pp)
+        if not store_g:
+            # the solver never reads g (Dirichlet values are baked into b);
+            # at 768^3+ the extra fine-grid array is the difference between
+            # fitting HBM and not.
+            gdir = None
         shape = tuple(pp) if pp is not None else g.shape
         lm = g.points_per_dim
         scale = (g.h / h0) ** (ndim - 2)

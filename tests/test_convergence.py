@@ -140,3 +140,24 @@ def test_screened_poisson_converges_and_matches_exact():
     # and the FEM-L2 error vs u* is small (discretization floor)
     k = int(res.num_cycles)
     assert float(np.asarray(res.err_hist)[k - 1]) < 5e-4
+
+
+def test_track_error_off_keeps_convergence():
+    """track_error=False skips the per-cycle error quadrature (S*Q compute
+    passes at scale): err_hist is NaN, residual history and cycle count
+    are unchanged."""
+    import dataclasses as dc
+    from multigrid_dolfinx_tpu import build_hierarchy, models, solve
+    from multigrid_dolfinx_tpu.config import CycleSpec
+
+    cyc = CycleSpec(nu1=2, nu2=2, smoother="rbgs", restriction="pt",
+                    tol=0.0, rtol=1e-8, max_cycles=30)
+    cfg = models.poisson2d(finest_level=3, dtype="float64", cycle=cyc)
+    hier = build_hierarchy(cfg)
+    r_on = solve(hier, cyc, mode="tol")
+    r_off = solve(hier, dc.replace(cyc, track_error=False), mode="tol")
+    k = int(r_on.num_cycles)
+    assert int(r_off.num_cycles) == k
+    assert np.all(np.isnan(np.asarray(r_off.err_hist)))
+    np.testing.assert_array_equal(np.asarray(r_off.res_hist)[:k],
+                                  np.asarray(r_on.res_hist)[:k])
