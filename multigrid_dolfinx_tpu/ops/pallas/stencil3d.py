@@ -748,6 +748,152 @@ def restrict_pt(r_fine, coarse_shape: Tuple[int, int, int], lmf: int,
     )(r_fine)
 
 
+def _restrict_residual_kernel(v_hbm, f_hbm, out_ref, vwin, fwin, vnew,
+                              fnew, ttmp, sems, *, Mzf, Myf, Mxf, Mzc,
+                              Myc, Mxc, lmf, lmc, wc, woff):
+    """Fused r = f - A v and P^T restriction, rolling over coarse slabs:
+    v and f are each read from HBM exactly once for the whole operation
+    (the separate residual pass cost 3 array passes and materialized r).
+
+    Window = 5 fine slabs [2i-2, 2i+3); advance = 2 per coarse slab; the
+    3-slab tail rolls forward in VMEM, 2 new slabs DMA in (double-
+    buffered via vnew/fnew staging slots)."""
+    i = pl.program_id(0)             # coarse z-slab index
+    nprog = pl.num_programs(0)
+    WS = 5
+
+    def start(block):
+        return jnp.clip(2 * block - 2, 0, Mzf - WS)
+
+    def new_copies(block, slot):
+        z0 = start(block) + 3
+        return (
+            pltpu.make_async_copy(
+                v_hbm.at[pl.ds(z0, 2), :, :], vnew.at[slot],
+                sems.at[slot, 0]),
+            pltpu.make_async_copy(
+                f_hbm.at[pl.ds(z0, 2), :, :], fnew.at[slot],
+                sems.at[slot, 1]),
+        )
+
+    @pl.when(i == 0)
+    def _():
+        cv = pltpu.make_async_copy(
+            v_hbm.at[pl.ds(start(0), WS), :, :], vwin, sems.at[2, 0])
+        cf = pltpu.make_async_copy(
+            f_hbm.at[pl.ds(start(0), WS), :, :], fwin, sems.at[2, 1])
+        cv.start()
+        cf.start()
+        if nprog > 1:
+            for c in new_copies(1, 1):
+                c.start()
+        cv.wait()
+        cf.wait()
+
+    @pl.when(i > 0)
+    def _():
+        shift = start(i) - start(i - 1)
+        ttmp[:] = vwin[pl.ds(shift, 3)]
+        vwin[:3] = ttmp[:]
+        ttmp[:] = fwin[pl.ds(shift, 3)]
+        fwin[:3] = ttmp[:]
+        slot = jax.lax.rem(i, jnp.int32(2))
+        for c in new_copies(i, slot):
+            c.wait()
+        vwin[3:] = vnew[slot]
+        fwin[3:] = fnew[slot]
+        if nprog > 2:
+            @pl.when(i + 1 < nprog)
+            def _():
+                for c in new_copies(i + 1, jax.lax.rem(i + 1, jnp.int32(2))):
+                    c.start()
+
+    v = vwin[:]
+    f = fwin[:]
+    z0 = start(i)
+    shape3 = (WS, Myf, Mxf)
+    _, _, _, interior = _masks3(z0, shape3, lmf)
+    vt = jnp.where(interior, v, jnp.zeros_like(v))
+
+    def resid_row(s):
+        if s < 0 or s >= WS:
+            return jnp.zeros((Myf, Mxf), v.dtype)
+        av = wc * vt[s] + woff * _nbr_sum(vt, s, WS)
+        # interior-masked residual (the 'pt' correction-equation masking,
+        # solver.vcycle.restrict_level)
+        return jnp.where(interior[s], f[s] - av, jnp.zeros((Myf, Mxf),
+                                                           v.dtype))
+
+    # o = 0 only at the first block, 2 at interior blocks.  The clamped
+    # tail lands on odd/large offsets, but those coarse slabs are always
+    # z padding (storage pad >= 3 slabs, and the tail starts past lmc-1),
+    # so they just get zeros — no compute, and the kernel body compiles
+    # at 2 real branches instead of 5.
+    o = jnp.clip(2 * i - z0, 0, 4)
+    for oc in (0, 2):
+        @pl.when(o == oc)
+        def _(oc=oc):
+            g = resid_row(oc - 1) + 2.0 * resid_row(oc) + resid_row(oc + 1)
+            res = _plane_restrict(g, lmf, lmc, Mxc) * 0.125
+            yc = jax.lax.broadcasted_iota(jnp.int32, res.shape, 0)
+            xc = jax.lax.broadcasted_iota(jnp.int32, res.shape, 1)
+            mask = (
+                (i >= 1) & (i <= lmc - 2)
+                & (yc >= 1) & (yc <= lmc - 2)
+                & (xc >= 1) & (xc <= lmc - 2)
+            )
+            res = jnp.where(mask, res, jnp.zeros_like(res))
+            ry = res.shape[0]
+            if ry >= Myc:
+                out_ref[0] = res[:Myc]
+            else:
+                out_ref[0] = jnp.concatenate(
+                    [res, jnp.zeros((Myc - ry, Mxc), res.dtype)], axis=0
+                )
+
+    @pl.when((o != 0) & (o != 2))
+    def _():
+        out_ref[0] = jnp.zeros((Myc, Mxc), v.dtype)
+
+
+def restrict_residual_pt(v, f, coarse_shape: Tuple[int, int, int],
+                         lmf: int, lmc: int, wc: float, woff: float,
+                         interpret: bool = False):
+    """Fused (f - A v) -> P^T restriction for the const-7 operator: the
+    coarse RHS of the correction equation in one pass over v and f, with
+    no residual array materialized."""
+    Mzf, Myf, Mxf = v.shape
+    Mzc, Myc, Mxc = coarse_shape
+    kernel = functools.partial(
+        _restrict_residual_kernel, Mzf=Mzf, Myf=Myf, Mxf=Mxf,
+        Mzc=Mzc, Myc=Myc, Mxc=Mxc, lmf=lmf, lmc=lmc,
+        wc=float(wc), woff=float(woff),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(Mzc,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, Myc, Mxc), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(coarse_shape, v.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((5, Myf, Mxf), v.dtype),
+            pltpu.VMEM((5, Myf, Mxf), v.dtype),
+            pltpu.VMEM((2, 2, Myf, Mxf), v.dtype),
+            pltpu.VMEM((2, 2, Myf, Mxf), v.dtype),
+            pltpu.VMEM((3, Myf, Mxf), v.dtype),
+            pltpu.SemaphoreType.DMA((3, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(v, f)
+
+
 def _plane_prolong(c, Mxf_out):
     """In-plane (y, x) bilinear interpolation of one coarse z-plane."""
     Myc, Mxc = c.shape

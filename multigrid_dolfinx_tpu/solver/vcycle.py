@@ -165,6 +165,28 @@ def prolong_correct(vc, coarse_level, fine_level, v, kind: str,
                              use_pallas=use_pallas)
 
 
+def _residual_restrict_fused(lv, lv_c, v, f, spec):
+    """Coarse correction RHS = P^T (f - A v) in one kernel pass over v/f
+    (no residual array materialized); None when the fused path doesn't
+    apply (caller does the two-step)."""
+    if not (spec.use_pallas and spec.restriction == "pt" and v.ndim == 3):
+        return None
+    from ..ops import dispatch
+
+    if not (
+        dispatch.pallas_eligible(lv.A, v.shape, v.dtype)
+        and dispatch.layout_aligned(lv_c.shape)
+    ):
+        return None
+    from ..ops.pallas import stencil3d
+
+    wc, woff = dispatch.const7_weights(lv.A)
+    return stencil3d.restrict_residual_pt(
+        v, f, lv_c.shape, lv.n + 1, lv_c.n + 1, wc, woff,
+        interpret=dispatch.interpret_mode(),
+    )
+
+
 def vcycle(
     hier: Hierarchy,
     spec: CycleSpec,
@@ -193,9 +215,11 @@ def vcycle(
     lv_c = hier.levels[lidx - 1]
     v = smooth(lv.sm, lv.A, v, f, spec.nu1, spec.smoother,
                use_pallas=spec.use_pallas)
-    r = compute_residual(lv, v, f, use_pallas=spec.use_pallas)
-    fc = restrict_level(r, lv, lv_c, spec.restriction,
-                        use_pallas=spec.use_pallas)
+    fc = _residual_restrict_fused(lv, lv_c, v, f, spec)
+    if fc is None:
+        r = compute_residual(lv, v, f, use_pallas=spec.use_pallas)
+        fc = restrict_level(r, lv, lv_c, spec.restriction,
+                            use_pallas=spec.use_pallas)
     vc = jnp.zeros_like(fc)
 
     if spec.cycle == "V" or lidx - 1 == 0:

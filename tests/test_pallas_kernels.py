@@ -410,3 +410,23 @@ def test_3d_prolong_add_matches_separate(lev3d):
     got = stencil3d.prolong_linear_add(c, v, lmf, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-6, atol=2e-6)
+
+
+def test_3d_restrict_residual_fused_matches_separate(lev3d):
+    """Fused P^T(f - A v) kernel == residual kernel then restrict kernel
+    (the V-cycle's coarse RHS in one pass over v and f)."""
+    from multigrid_dolfinx_tpu.ops.pallas import stencil3d
+
+    cfg, hier = lev3d
+    fl = hier.finest
+    cl = hier.levels[-2]
+    lmf, lmc = fl.n + 1, cl.n + 1
+    wc, woff = dispatch.const7_weights(fl.A)
+    v = _rand3(fl.shape, lmf, 31)
+    f = fl.b
+    r = stencil3d.residual(v, f, lmf, wc, woff, interpret=True)
+    want = stencil3d.restrict_pt(r, cl.shape, lmf, lmc, interpret=True)
+    got = stencil3d.restrict_residual_pt(v, f, cl.shape, lmf, lmc,
+                                         wc, woff, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-6, atol=2e-6)
