@@ -42,6 +42,7 @@ from .solver.fmg import (
 from .solver.krylov import CGResult, solve_mgcg
 from .solver.batched import solve_batched
 from .solver.vcycle import vcycle
+from .utils.compile_cache import enable_compilation_cache
 from . import models
 
 __version__ = "0.1.0"
@@ -69,6 +70,7 @@ __all__ = [
     "vcycle",
     "residual_norm",
     "error_norm",
+    "enable_compilation_cache",
     "models",
     "__version__",
 ]
