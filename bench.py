@@ -34,6 +34,17 @@ def _flush(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def _factor_levels(n_elems: int):
+    """(coarsest_elements, finest_level) with base * 2**finest == n —
+    supports non-power-of-two sizes like 768 = 6 * 2**7."""
+    level = 0
+    base = n_elems
+    while base % 2 == 0 and base > 8:
+        base //= 2
+        level += 1
+    return base, level
+
+
 def bench_device(ndim: int, n_elems: int, cycles: int, use_pallas: bool):
     import jax
     import jax.numpy as jnp
@@ -50,13 +61,16 @@ def bench_device(ndim: int, n_elems: int, cycles: int, use_pallas: bool):
     from multigrid_dolfinx_tpu.solver.hierarchy import build_lean_hierarchy
     from multigrid_dolfinx_tpu.solver.vcycle import vcycle
 
-    finest = int(math.log2(n_elems // 8))
+    base, finest = _factor_levels(n_elems)
+    # the reachable f32 relative-residual floor shrinks with problem size
+    # (rn_ref grows); small smoke sizes stagnate just above 1e-8.
+    rtol = 1e-8 if n_elems >= 256 else 1e-6
     cyc = CycleSpec(nu1=2, nu2=2, smoother="rbgs", restriction="pt",
-                    tol=0.0, rtol=1e-8, max_cycles=40,
+                    tol=0.0, rtol=rtol, max_cycles=40,
                     use_pallas=use_pallas, track_error=False)
     model = models.poisson3d if ndim == 3 else models.poisson2d
     cfg = model(finest_level=finest, coarsest_level=max(0, finest - 6),
-                dtype="float32", cycle=cyc)
+                coarsest_elements=base, dtype="float32", cycle=cyc)
     _flush(f"building lean hierarchy ({n_elems}^{ndim})...")
     hier = build_lean_hierarchy(cfg)
     jax.block_until_ready(hier.finest.b)
@@ -115,12 +129,12 @@ def bench_oracle_baseline(ndim: int, n_elems: int, cycles: int) -> float:
     from multigrid_dolfinx_tpu import models
     from multigrid_dolfinx_tpu.config import CycleSpec
 
-    finest = int(math.log2(n_elems // 8))
+    base, finest = _factor_levels(n_elems)
     cyc = CycleSpec(nu1=2, nu2=2, restriction="injection",
                     tol=1e-6, max_cycles=cycles)
     model = models.poisson3d if ndim == 3 else models.poisson2d
     cfg = model(finest_level=finest, coarsest_level=max(0, finest - 3),
-                dtype="float64", cycle=cyc)
+                coarsest_elements=base, dtype="float64", cycle=cyc)
     prob = build_oracle(cfg)
     f = prob.levels[-1].b
     v = np.zeros_like(f)
