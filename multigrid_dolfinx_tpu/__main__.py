@@ -56,6 +56,7 @@ def _build_config(args):
         cycle=args.cycle,
         restriction=args.restriction,
         tol=args.tol,
+        rtol=args.rtol,
         max_cycles=args.max_cycles,
         use_pallas=args.pallas,
         track_error=not args.no_track_error,
@@ -84,7 +85,43 @@ def cmd_solve(args) -> int:
     enable_compilation_cache()
     cfg = _build_config(args)
     t0 = time.perf_counter()
-    if args.lean:
+    if args.shard == "halo3d":
+        # full explicit distributed 3D V-cycle (z-decomposition)
+        import numpy as _np
+        import jax as _jax
+        from jax.sharding import Mesh
+
+        from .parallel.halo3d import build_halo_solver3d
+
+        ndev = args.shard_devices or len(_jax.devices())
+        mesh = Mesh(_np.array(_jax.devices()[:ndev]), ("gz",))
+        hier, dist_solve = build_halo_solver3d(cfg, mesh)
+        t_build = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        u, k_dev, done = dist_solve(hier)
+        np.asarray(u)
+        t_solve = time.perf_counter() - t0
+        k = int(k_dev)
+        n = cfg.hierarchy.elements_at(cfg.hierarchy.finest_level)
+        out = {
+            "converged": bool(done),
+            "cycles": k,
+            "ndofs": (n + 1) ** cfg.problem.ndim,
+            "devices": ndev,
+            "build_seconds": round(t_build, 3),
+            "solve_seconds": round(t_solve, 3),
+        }
+        print(json.dumps(out))
+        return 0 if bool(done) else 1
+    if args.shard == "gspmd":
+        from .parallel.sharding import (
+            build_sharded_hierarchy,
+            make_device_mesh,
+        )
+
+        mesh = make_device_mesh(args.shard_devices or None)
+        hier = build_sharded_hierarchy(cfg, mesh, lean=args.lean)
+    elif args.lean:
         from .solver.hierarchy import build_lean_hierarchy
 
         hier = build_lean_hierarchy(cfg)
@@ -167,6 +204,8 @@ def main(argv=None) -> int:
     ps.add_argument("--restriction", default="pt",
                     choices=("injection", "full_weighting", "pt"))
     ps.add_argument("--tol", type=float, default=1e-8)
+    ps.add_argument("--rtol", type=float, default=0.0,
+                    help="also stop at rtol * zero-iterate residual")
     ps.add_argument("--max-cycles", type=int, default=100)
     ps.add_argument("--dtype", default="float32")
     ps.add_argument("--platform", default=None,
@@ -177,6 +216,12 @@ def main(argv=None) -> int:
                     help="O(1)-host-memory hierarchy (constant-coefficient "
                          "P1 only; keeps FEM-L2 residual and error norms "
                          "via class-table mass + on-the-fly u*)")
+    ps.add_argument("--shard", default="none",
+                    choices=("none", "gspmd", "halo3d"),
+                    help="multi-chip path: GSPMD block sharding or the "
+                         "explicit z-decomposed 3D V-cycle")
+    ps.add_argument("--shard-devices", type=int, default=0,
+                    help="devices to use (0 = all)")
     ps.add_argument("--no-track-error", action="store_true",
                     help="skip the per-cycle FEM-L2 error-vs-exact norm "
                          "(S*Q compute passes per cycle at scale)")
