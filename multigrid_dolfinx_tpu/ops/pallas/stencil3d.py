@@ -174,11 +174,38 @@ def _call_windowed(body, v, f, lm, interpret, z_base=None, **kw):
 # block fall back to full-window DMAs via the same start() formula.
 # ----------------------------------------------------------------------
 
-def _rolling_kernel(prelude, emit):
+def _branch_offsets(tz: int, h: int):
+    """All achievable output offsets o = i*tz - clip(i*tz - h, 0, Mz - ws).
+
+    Un-clipped middle blocks give h.  Bottom-clipped blocks (i*tz < h)
+    give the multiples of tz below h.  Top-clipped blocks give
+    o ≡ 2h (mod tz) in (h, 2h] (Mz % tz == 0, so Mz - ws ≡ -2h mod tz).
+    The previous {0, h, 2h} enumeration was only complete for tz >= h —
+    with tz < h some blocks matched NO branch and their output slabs were
+    never written (silent garbage; hit by e.g. the tz=1 rolling pick at
+    768^3)."""
+    offs = {0, h, 2 * h}
+    offs.update(range(0, h, tz))
+    o = 2 * h
+    while o - tz > h:
+        o -= tz
+        offs.add(o)
+    return sorted(offs)
+
+
+def _rolling_kernel(prelude, emit, pad=0):
     """prelude(v, f, z0, shape3, lm, **kw) runs ONCE per window (e.g. the
     red half-sweep); emit(aux, v, f, z0, shape3, lm, oc, tz, **kw) runs
     inside the static output-offset branch and returns only the tz output
-    slabs — the window's halo slabs never pay for the final stage."""
+    slabs — the window's halo slabs never pay for the final stage.
+
+    pad = Mz - lm (z-padding slabs).  Offsets o > h occur only at
+    top-clamped blocks (window start == Mz - ws), whose output slabs are
+    global z in [Mz - ws + o, Mz - ws + o + tz); when those are all
+    z padding (o >= ws - pad) the branch emits plain zeros instead of
+    running the stages — every kernel in this file produces 0 on padding
+    rows (padding f == 0, padding v == 0, non-interior updates pass f/v
+    through), and it cuts the compiled body substantially."""
 
     def kernel(zb_ref, v_hbm, f_hbm, out_ref, vwin, fwin, vnew, fnew, ttmp,
                sems, *, Mz, My, Mx, lm, tz, h, **kw):
@@ -241,8 +268,19 @@ def _rolling_kernel(prelude, emit):
         z0g = start(i) + zb
         shape3 = (ws, My, Mx)
         aux = prelude(v, f, z0g, shape3, lm, **kw)
-        o = i * tz - start(i)                      # 0, h, or 2h
-        for oc in sorted({0, h, h2}):
+        o = i * tz - start(i)
+        zero_offs = [oc for oc in _branch_offsets(tz, h)
+                     if oc > h and oc >= ws - pad]
+        if zero_offs:
+            @pl.when(o >= zero_offs[0])
+            def _():
+                for sl in range(tz):
+                    out_ref[sl] = jnp.zeros((My, Mx), v.dtype)
+
+        for oc in _branch_offsets(tz, h):
+            if oc in zero_offs:
+                continue
+
             @pl.when(o == oc)
             def _(oc=oc):
                 outs = emit(aux, v, f, z0g, shape3, lm, oc, tz, **kw)
@@ -290,8 +328,8 @@ def _call_rolling(prelude, emit, v, f, lm, h, interpret, z_base=None, **kw):
         return None
     ws = tz + 2 * h
     kernel = functools.partial(
-        _rolling_kernel(prelude, emit), Mz=Mz, My=My, Mx=Mx, lm=lm, tz=tz,
-        h=h, **kw
+        _rolling_kernel(prelude, emit, pad=Mz - lm),
+        Mz=Mz, My=My, Mx=Mx, lm=lm, tz=tz, h=h, **kw
     )
     zb = jnp.full((1, 1), 0 if z_base is None else z_base, jnp.int32)
     return pl.pallas_call(
@@ -544,6 +582,107 @@ def rb_sweep_fused(v, f, lm, wc, woff, interpret=False, z_base=None):
         ),
         interpret=interpret,
     )(zb, v, f)
+
+
+def _rb2_prelude(v, f, z0, shape3, lm, *, wc, woff):
+    """Double-sweep prelude: nothing heavy — all four RB stages run inside
+    the static output-offset branch (emit), where the slab pyramid can be
+    restricted per branch."""
+    My, Mx = shape3[1:]
+    y = jax.lax.broadcasted_iota(jnp.int32, (My, Mx), 0)
+    x = jax.lax.broadcasted_iota(jnp.int32, (My, Mx), 1)
+    inplane = (y >= 1) & (y <= lm - 2) & (x >= 1) & (x <= lm - 2)
+    return inplane, (y + x) % 2
+
+
+def _rb2_emit(aux, v, f, z0, shape3, lm, oc, tz, *, wc, woff):
+    """Two full red-black GS sweeps (R1 B1 R2 B2) for the tz output slabs.
+
+    Dependency pyramid: B2 on [oc, oc+tz) needs R2 on [oc-1, oc+tz+1),
+    B1 on [oc-2, oc+tz+2), R1 on [oc-3, oc+tz+3) — each stage runs only
+    on its (static) range, so the fused double sweep costs ~(4tz+12)/tz
+    slab-stage computations per output slab vs 2(2tz+3)/tz for two single
+    sweeps, while halving the HBM traffic (one v/f read + one v write for
+    BOTH sweeps).  Values computed near window edges with missing
+    out-of-window neighbors are never consumed by an emitted slab: the
+    pyramid bottoms out on domain-boundary or z-padding rows whose update
+    is `f` regardless (>= 4 z-padding slabs required — callers check)."""
+    inplane, ypx = aux
+    ws = shape3[0]
+    zero = jnp.zeros(shape3[1:], v.dtype)
+
+    def interior_at(s):
+        zg = z0 + s
+        zok = (zg >= 1) & (zg <= lm - 2)
+        return jnp.logical_and(inplane, zok)
+
+    cur = {s: v[s] for s in range(ws)}
+    stages = (
+        (0, oc - 3, oc + tz + 3),
+        (1, oc - 2, oc + tz + 2),
+        (0, oc - 1, oc + tz + 1),
+        (1, oc, oc + tz),
+    )
+    for parity, lo, hi in stages:
+        lo, hi = max(lo, 0), min(hi, ws)
+        vt = {
+            s: jnp.where(interior_at(s), cur[s], zero)
+            for s in range(max(lo - 1, 0), min(hi + 1, ws))
+        }
+        new = {}
+        for s in range(lo, hi):
+            c = vt[s]
+            ssum = (
+                vt.get(s - 1, zero) + vt.get(s + 1, zero)
+                + _roll(c, 1, 0) + _roll(c, -1, 0)
+                + _roll(c, 1, 1) + _roll(c, -1, 1)
+            )
+            cand = _gs_candidate(f[s], ssum, interior_at(s), wc, woff)
+            target = (parity + z0 + s) % 2
+            new[s] = jnp.where(ypx == target, cand, cur[s])
+        cur.update(new)
+    return [cur[oc + sl] for sl in range(tz)]
+
+
+def rb_sweep2_fused(v, f, lm, wc, woff, interpret=False, z_base=None):
+    """TWO full red-black GS sweeps in a single rolling-window pass: v and
+    f each cross HBM once for both sweeps (the V(2,2) pre-/post-smoothing
+    pair costs 3 array passes instead of 6).  Falls back to two single
+    fused sweeps when the shape/padding/VMEM doesn't admit it.
+
+    Default OFF (opt in with MG_RB2=1): measured on v5e at 512^3 the
+    double sweep is a net loss — 54.0 ms/V-cycle vs 30.6 ms for two
+    single fused sweeps.  The single-sweep kernels already run well below
+    the HBM roofline (~190 GB/s effective of ~819), i.e. they are
+    issue/compute-bound, so halving HBM traffic does not pay for the
+    ~(4tz+12)/(4tz+6) stage redundancy of the h=4 dependency pyramid at
+    the VMEM-constrained tz.  Kept (tested in interpret mode) because the
+    trade flips wherever HBM bandwidth is the binding constraint."""
+    import os
+
+    Mz = v.shape[0]
+    ok = (
+        os.environ.get("MG_RB2", "0") == "1"
+        and z_base is None                  # same constraint as rolling
+        and Mz - lm >= 4                    # 4 z-padding slabs for the h=4
+                                            # edge-validity argument above
+        # Compiled programs: only where the double sweep could pay (coarse-
+        # level sweeps cost microseconds) — each instantiation is a large
+        # Mosaic body and the remote-compile payload is size-limited.
+        # Interpret mode (CPU tests) always exercises the real kernel.
+        and (interpret or lm >= int(os.environ.get("MG_RB2_MIN_LM", "65")))
+    )
+    if ok:
+        out = _call_rolling(
+            _rb2_prelude, _rb2_emit, v, f, lm, 4, interpret, z_base=z_base,
+            wc=float(wc), woff=float(woff),
+        )
+        if out is not None:
+            return out
+    v = rb_sweep_fused(v, f, lm, wc, woff, interpret=interpret,
+                       z_base=z_base)
+    return rb_sweep_fused(v, f, lm, wc, woff, interpret=interpret,
+                          z_base=z_base)
 
 
 def _pw_prelude(v, f, z0, shape3, lm, **kw):

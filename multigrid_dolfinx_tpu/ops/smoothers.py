@@ -240,6 +240,24 @@ def _pallas_rbgs(sm, A, v, f, nsweeps):
             return stencil3d.rb_sweep_fused(v, f, lm, wc, woff,
                                             interpret=interp)
 
+        def sweep2(_, v):
+            # consecutive sweep PAIRS can fuse into one rolling kernel
+            # (v and f cross HBM once for both sweeps) — opt-in via
+            # MG_RB2=1; by default this falls back to two single fused
+            # sweeps, which measure faster on v5e (see rb_sweep2_fused)
+            return stencil3d.rb_sweep2_fused(v, f, lm, wc, woff,
+                                             interpret=interp)
+
+        pairs, rem = divmod(nsweeps, 2)
+        if pairs <= 2:
+            for k in range(pairs):
+                v = sweep2(k, v)
+        else:
+            v = jax.lax.fori_loop(0, pairs, sweep2, v)
+        if rem:
+            v = sweep(0, v)
+        return v
+
     if nsweeps <= 2:
         for k in range(nsweeps):
             v = sweep(k, v)

@@ -16,6 +16,7 @@ from multigrid_dolfinx_tpu.ops.pallas import stencil2d
 from multigrid_dolfinx_tpu.ops.smoothers import (
     jacobi_smooth,
     multicolor_gs_smooth,
+    smooth,
 )
 from multigrid_dolfinx_tpu.solver import vcycle as vc
 
@@ -267,6 +268,64 @@ def test_3d_rb_fused_matches_half_sweeps(lev3d):
     got = stencil3d.rb_sweep_fused(v, f, lm, wc, woff, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-6, atol=2e-6)
+
+
+def test_3d_rb_double_sweep_matches_two_sweeps(lev3d, monkeypatch):
+    """rb_sweep2_fused (two full RB sweeps in ONE rolling HBM pass, h=4
+    dependency pyramid) == two sequential rb_sweep_fused calls, and the
+    smoother pairs sweeps through it for even sweep counts.  Opt-in knob
+    (default off — slower than two singles on v5e, see rb_sweep2_fused)."""
+    from multigrid_dolfinx_tpu.ops.pallas import stencil3d
+
+    monkeypatch.setenv("MG_RB2", "1")
+    cfg, hier = lev3d
+    fl = hier.finest
+    lm = fl.n + 1
+    wc, woff = dispatch.const7_weights(fl.A)
+    v = _rand3(fl.shape, lm, 11)
+    f = fl.b
+    want = stencil3d.rb_sweep_fused(v, f, lm, wc, woff, interpret=True)
+    want = stencil3d.rb_sweep_fused(want, f, lm, wc, woff, interpret=True)
+    got = stencil3d.rb_sweep2_fused(v, f, lm, wc, woff, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-6, atol=2e-6)
+    # odd sweep counts via the smoother: pair + single tail == 3 singles
+    want3 = stencil3d.rb_sweep_fused(want, f, lm, wc, woff, interpret=True)
+    got3 = smooth(fl.sm, fl.A, v, f, 3, "rbgs", use_pallas=True)
+    np.testing.assert_allclose(np.asarray(got3), np.asarray(want3),
+                               rtol=2e-6, atol=2e-6)
+
+
+@pytest.mark.parametrize("tz", [1, 2])
+def test_3d_rolling_small_tz_output_offsets(lev3d, monkeypatch, tz):
+    """Rolling kernels with tz < h: output offsets are NOT just {0, h, 2h}
+    (bottom-clipped blocks land on intermediate multiples of tz).  The
+    original enumeration left those blocks' output slabs unwritten —
+    silent garbage; this pins the general _branch_offsets fix for every
+    rolling kernel (single RB sweep h=2, double sweep h=4, jacobi and
+    residual h=1) at the VMEM-constrained tz picks (e.g. tz=1 at 768^3)."""
+    from multigrid_dolfinx_tpu.ops.pallas import stencil3d
+
+    cfg, hier = lev3d
+    fl = hier.finest
+    lm = fl.n + 1
+    wc, woff = dispatch.const7_weights(fl.A)
+    v = _rand3(fl.shape, lm, 13)
+    f = fl.b
+    want1 = multicolor_gs_smooth(fl.sm, fl.A, v, f, 1)
+    want2 = multicolor_gs_smooth(fl.sm, fl.A, want1, f, 1)
+    wantr = f - fl.A.apply(v)
+    monkeypatch.setenv("MG_TZ", str(tz))
+    monkeypatch.setenv("MG_RB2", "1")
+    got1 = stencil3d.rb_sweep_fused(v, f, lm, wc, woff, interpret=True)
+    got2 = stencil3d.rb_sweep2_fused(v, f, lm, wc, woff, interpret=True)
+    gotr = stencil3d.residual(v, f, lm, wc, woff, interpret=True)
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(want1),
+                               rtol=3e-5, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                               rtol=3e-5, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(gotr), np.asarray(wantr),
+                               rtol=3e-5, atol=3e-5)
 
 
 def test_pallas_solve_reference_jacobi_injection_nonzero_bc():
