@@ -27,17 +27,29 @@ from jax.experimental.pallas import tpu as pltpu
 from .stencil2d import _roll
 
 
+def _plane_interior(shape2, lm):
+    """2D (y, x) interior mask of one slab."""
+    y = jax.lax.broadcasted_iota(jnp.int32, shape2, 0)
+    x = jax.lax.broadcasted_iota(jnp.int32, shape2, 1)
+    return (y >= 1) & (y <= lm - 2) & (x >= 1) & (x <= lm - 2)
+
+
 def _masks3(z0, shape, lm):
-    """(interior, inbox) for a window whose global z of slab s is z0 + s."""
-    z = z0 + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-    y = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-    x = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
-    interior = (
-        (z >= 1) & (z <= lm - 2)
-        & (y >= 1) & (y <= lm - 2)
-        & (x >= 1) & (x <= lm - 2)
-    )
-    return z, y, x, interior
+    """Interior mask for a window whose global z of slab s is z0 + s.
+
+    z is the un-tiled leading axis and z0 + s is a per-slab SCALAR, so the
+    mask is one shared 2D in-plane mask AND a scalar z test per slab —
+    building it from full-window 3D iotas costs ~14 int32 plane-ops per
+    slab (3 iotas + 6 compares + 5 ands), comparable to the 7-point
+    stencil arithmetic itself; this form costs ~9 + ws plane-ops total.
+    Returns (None, None, None, interior) — no call site consumes the iota
+    components."""
+    ws = shape[0]
+    inplane = _plane_interior(shape[1:], lm)
+    interior = jnp.stack(
+        [jnp.logical_and(inplane, (z0 + s >= 1) & (z0 + s <= lm - 2))
+         for s in range(ws)], axis=0)
+    return None, None, None, interior
 
 
 def _gs_candidate(f, s, interior_c, wc, woff):
@@ -308,10 +320,21 @@ def _pick_tz_rolling(Mz, My, Mx, h, itemsize: int = 4) -> int:
     return 0
 
 
-def _call_rolling(prelude, emit, v, f, lm, h, interpret, z_base=None, **kw):
+def _call_rolling(prelude, emit, v, f, lm, h, interpret, z_base=None,
+                  alias_v=False, **kw):
     """Rolling-window pallas_call; returns None if the shape doesn't admit
     it (caller falls back to the plain windowed path).  MG_ROLLING=0
-    disables it globally (debug/fallback knob)."""
+    disables it globally (debug/fallback knob).
+
+    alias_v=True declares the output in-place over v (input_output_
+    aliases).  This is safe ONLY on the rolling path: every v slab is
+    DMA'd into VMEM strictly before any block writes it (block b writes
+    z in [b*tz, b*tz + tz); later blocks' new-slab reads start at
+    (b+1)*tz + h and the inherited tail comes from VMEM, never re-read
+    from HBM).  The plain windowed fallback re-reads its lower halo from
+    HBM, so it must never alias.  Callers set it for smoother sweeps
+    (v = sweep(v) — the input dies), halving fine-level HBM liveness;
+    XLA inserts a copy automatically where v stays live."""
     import os
 
     if os.environ.get("MG_ROLLING", "1") != "1":
@@ -354,6 +377,14 @@ def _call_rolling(prelude, emit, v, f, lm, h, interpret, z_base=None, **kw):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=112 * 1024 * 1024,
         ),
+        # default off: measured perf-neutral at 512^3 (22.3 vs 22.4 ms per
+        # V-cycle, one alias sample at 24.6 — in-place writes trail the
+        # window reads by only h slabs, which can contend for HBM), so it
+        # is an opt-in memory-headroom knob for near-HBM-capacity grids
+        # (scripts/big_demo.py sets MG_ALIAS=1 for 1024^3).
+        input_output_aliases=(
+            {1: 0} if alias_v and os.environ.get("MG_ALIAS", "0") == "1"
+            else {}),
         interpret=interpret,
     )(zb, v, f)
 
@@ -542,7 +573,7 @@ def rb_sweep_fused(v, f, lm, wc, woff, interpret=False, z_base=None):
     rolling-window path."""
     out = _call_rolling(
         _rb_prelude, _rb_emit, v, f, lm, 2, interpret, z_base=z_base,
-        wc=float(wc), woff=float(woff),
+        alias_v=True, wc=float(wc), woff=float(woff),
     )
     if out is not None:
         return out
@@ -675,7 +706,7 @@ def rb_sweep2_fused(v, f, lm, wc, woff, interpret=False, z_base=None):
     if ok:
         out = _call_rolling(
             _rb2_prelude, _rb2_emit, v, f, lm, 4, interpret, z_base=z_base,
-            wc=float(wc), woff=float(woff),
+            alias_v=True, wc=float(wc), woff=float(woff),
         )
         if out is not None:
             return out
@@ -738,7 +769,7 @@ def jacobi_sweep(v, f, lm, wc, woff, omega, interpret=False, z_base=None):
     reference association (multigrid.py:223-228) on the const-7 stencil."""
     out = _call_rolling(
         _pw_prelude, _jacobi_emit, v, f, lm, 1, interpret, z_base=z_base,
-        wc=float(wc), woff=float(woff), omega=float(omega),
+        alias_v=True, wc=float(wc), woff=float(woff), omega=float(omega),
     )
     if out is not None:
         return out
@@ -888,8 +919,8 @@ def restrict_pt(r_fine, coarse_shape: Tuple[int, int, int], lmf: int,
 
 
 def _restrict_residual_kernel(v_hbm, f_hbm, out_ref, vwin, fwin, vnew,
-                              fnew, ttmp, sems, *, Mzf, Myf, Mxf, Mzc,
-                              Myc, Mxc, lmf, lmc, wc, woff):
+                              fnew, ttmp, rcache, sems, *, Mzf, Myf, Mxf,
+                              Mzc, Myc, Mxc, lmf, lmc, wc, woff):
     """Fused r = f - A v and P^T restriction, rolling over coarse slabs:
     v and f are each read from HBM exactly once for the whole operation
     (the separate residual pass cost 3 array passes and materialized r).
@@ -968,11 +999,23 @@ def _restrict_residual_kernel(v_hbm, f_hbm, out_ref, vwin, fwin, vnew,
     # z padding (storage pad >= 3 slabs, and the tail starts past lmc-1),
     # so they just get zeros — no compute, and the kernel body compiles
     # at 2 real branches instead of 5.
+    #
+    # Consecutive windows overlap by one residual row: block i's top row
+    # (global fine z = 2i+1, full in-window neighbor support) is block
+    # i+1's bottom row, so it is cached in persistent scratch and each
+    # block computes TWO residual rows instead of three.  The cache-
+    # consuming blocks are a contiguous prefix of the sequential grid
+    # (once the tail clamps, every later block emits zeros), so the
+    # cache is never read stale.
     o = jnp.clip(2 * i - z0, 0, 4)
     for oc in (0, 2):
         @pl.when(o == oc)
         def _(oc=oc):
-            g = resid_row(oc - 1) + 2.0 * resid_row(oc) + resid_row(oc + 1)
+            r_top = resid_row(oc + 1)
+            r_bot = (jnp.zeros((Myf, Mxf), v.dtype) if oc == 0
+                     else rcache[:])
+            g = r_bot + 2.0 * resid_row(oc) + r_top
+            rcache[:] = r_top
             res = _plane_restrict(g, lmf, lmc, Mxc) * 0.125
             yc = jax.lax.broadcasted_iota(jnp.int32, res.shape, 0)
             xc = jax.lax.broadcasted_iota(jnp.int32, res.shape, 1)
@@ -1000,9 +1043,20 @@ def restrict_residual_pt(v, f, coarse_shape: Tuple[int, int, int],
                          interpret: bool = False):
     """Fused (f - A v) -> P^T restriction for the const-7 operator: the
     coarse RHS of the correction equation in one pass over v and f, with
-    no residual array materialized."""
+    no residual array materialized.
+
+    The fused kernel's scratch is a fixed 22 fine slabs (two 5-slab
+    windows, 2x2-slab staging for each of v/f, 3-slab roll buffer, 1-slab
+    row cache); past ~1000^2 planes that exceeds the 128 MB VMEM, so it
+    falls back to the separate residual + restrict_pt kernels (both
+    VMEM-budgeted internally; restrict_pt applies the same interior
+    masking to the fine residual, so the results are identical)."""
     Mzf, Myf, Mxf = v.shape
     Mzc, Myc, Mxc = coarse_shape
+    slab = Myf * Mxf * v.dtype.itemsize
+    if 26 * slab > 100 * 1024 * 1024:     # 22 scratch + ~4 body temporaries
+        r = residual(v, f, lmf, wc, woff, interpret=interpret)
+        return restrict_pt(r, coarse_shape, lmf, lmc, interpret=interpret)
     kernel = functools.partial(
         _restrict_residual_kernel, Mzf=Mzf, Myf=Myf, Mxf=Mxf,
         Mzc=Mzc, Myc=Myc, Mxc=Mxc, lmf=lmf, lmc=lmc,
@@ -1024,6 +1078,7 @@ def restrict_residual_pt(v, f, coarse_shape: Tuple[int, int, int],
             pltpu.VMEM((2, 2, Myf, Mxf), v.dtype),
             pltpu.VMEM((2, 2, Myf, Mxf), v.dtype),
             pltpu.VMEM((3, Myf, Mxf), v.dtype),
+            pltpu.VMEM((Myf, Mxf), v.dtype),
             pltpu.SemaphoreType.DMA((3, 2)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -1046,14 +1101,14 @@ def _plane_prolong(c, Mxf_out):
 
 def _prolong_kernel(c_hbm, *rest, Mzf, Myf, Mxf, Mzc, Myc, Mxc, lmf,
                     fused_add):
-    # fused_add: rest = (v_ref, out_ref, cwin, sem) and the kernel emits
-    # v + P(c) — the V-cycle correction step in the same HBM pass (the
-    # separate XLA add costs 3 extra array passes).  Else rest =
-    # (out_ref, cwin, sem).
+    # fused_add: rest = (v_ref, out_ref, cwin, pcache, sem) and the kernel
+    # emits v + P(c) — the V-cycle correction step in the same HBM pass
+    # (the separate XLA add costs 3 extra array passes).  Else rest =
+    # (out_ref, cwin, pcache, sem).
     if fused_add:
-        v_ref, out_ref, cwin, sem = rest
+        v_ref, out_ref, cwin, pcache, sem = rest
     else:
-        out_ref, cwin, sem = rest
+        out_ref, cwin, pcache, sem = rest
         v_ref = None
     i = pl.program_id(0)          # fine z-slab PAIR index: fine z = 2i, 2i+1
     nprog = pl.num_programs(0)
@@ -1077,10 +1132,23 @@ def _prolong_kernel(c_hbm, *rest, Mzf, Myf, Mxf, Mzc, Myc, Mxc, lmf,
     c = cwin[slot]
     o = i - zc                    # 0 normally; 1 only in the clamped tail
 
+    # Block i's even plane is the in-plane prolongation of coarse plane i —
+    # exactly the plane block i-1 interpolated as its p1 (odd-plane
+    # partner).  The grid is sequential and scratch persists, so p1 is
+    # cached in pcache and each block computes ONE in-plane prolongation
+    # instead of two (the in-plane stage, with its two lane<->sublane
+    # transposes, dominates this kernel's compute).  Block 0 seeds the
+    # cache; clamped-tail blocks (o == 1) reuse it identically, since
+    # their p0 source c[1] is the same coarse plane the previous block
+    # prolonged as p1.
+    @pl.when(i == 0)
+    def _():
+        pcache[:] = _plane_prolong(c[0], Mxf)[:Myf]
+
     for oc in (0, 1):
         @pl.when(o == oc)
         def _(oc=oc):
-            p0 = _plane_prolong(c[oc], Mxf)[:Myf]
+            p0 = pcache[:]
             p1_src = c[oc + 1] if oc + 1 < 2 else c[oc]
             p1 = _plane_prolong(p1_src, Mxf)[:Myf]
             even = p0
@@ -1093,6 +1161,7 @@ def _prolong_kernel(c_hbm, *rest, Mzf, Myf, Mxf, Mzc, Myc, Mxc, lmf,
                 mask = (zf <= lmf - 1) & (yf <= lmf - 1) & (xf <= lmf - 1)
                 e = jnp.where(mask, plane, jnp.zeros_like(plane))
                 out_ref[sl] = (v_ref[sl] + e) if fused_add else e
+            pcache[:] = p1
 
 
 def prolong_linear(c_coarse, fine_shape: Tuple[int, int, int], lmf: int,
@@ -1113,6 +1182,7 @@ def prolong_linear(c_coarse, fine_shape: Tuple[int, int, int], lmf: int,
         out_shape=jax.ShapeDtypeStruct(fine_shape, c_coarse.dtype),
         scratch_shapes=[
             pltpu.VMEM((2, 2, Myc, Mxc), c_coarse.dtype),
+            pltpu.VMEM((Myf, Mxf), c_coarse.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -1124,7 +1194,16 @@ def prolong_linear(c_coarse, fine_shape: Tuple[int, int, int], lmf: int,
 
 def prolong_linear_add(c_coarse, v_fine, lmf: int, interpret: bool = False):
     """Fused correction step v + P(c): trilinear prolongation and the
-    V-cycle add in one HBM pass (reference multigrid.py:258-260)."""
+    V-cycle add in one HBM pass (reference multigrid.py:258-260).
+
+    Under MG_ALIAS=1 the output aliases v_fine in place — input and
+    output use the SAME block index map, so block i's v slabs are in VMEM
+    before its output write and no other block touches them (unlike the
+    sweeps there is no halo).  This removes the one point in the V-cycle
+    where two fine arrays beside f are live, the peak that decides
+    whether 1024^3 (4.9 GB per fine array) fits a 16 GB chip."""
+    import os
+
     Mzc, Myc, Mxc = c_coarse.shape
     Mzf, Myf, Mxf = v_fine.shape
     kernel = functools.partial(
@@ -1144,10 +1223,13 @@ def prolong_linear_add(c_coarse, v_fine, lmf: int, interpret: bool = False):
         out_shape=jax.ShapeDtypeStruct(v_fine.shape, v_fine.dtype),
         scratch_shapes=[
             pltpu.VMEM((2, 2, Myc, Mxc), c_coarse.dtype),
+            pltpu.VMEM((Myf, Mxf), c_coarse.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=112 * 1024 * 1024,
         ),
+        input_output_aliases=(
+            {1: 0} if os.environ.get("MG_ALIAS", "0") == "1" else {}),
         interpret=interpret,
     )(c_coarse, v_fine)

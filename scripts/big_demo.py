@@ -1,0 +1,85 @@
+"""Single-chip scale demo: V-cycle throughput at 768^3 / 1024^3.
+
+1024^3 elements = 1.077e9 DOFs; one padded f32 fine array is 4.9 GB, so
+the V-cycle only fits in a v5e's ~16 GB HBM with the in-place rolling
+sweeps (MG_ALIAS=1: smoother output aliases its input, cutting fine-level
+liveness from 3 arrays to 2) and the lean hierarchy's store_g=False.
+
+Usage: python scripts/big_demo.py [N] [cycles]
+Prints one JSON line like bench.py.
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("MG_ALIAS", "1")
+
+import jax
+import jax.numpy as jnp
+
+from multigrid_dolfinx_tpu.utils.compile_cache import enable_compilation_cache
+enable_compilation_cache()
+
+from multigrid_dolfinx_tpu import models
+from multigrid_dolfinx_tpu.config import CycleSpec
+from multigrid_dolfinx_tpu.solver.hierarchy import build_lean_hierarchy
+from multigrid_dolfinx_tpu.solver.vcycle import vcycle
+
+
+def _factor_levels(n_elems):
+    level, base = 0, n_elems
+    while base % 2 == 0 and base > 8:
+        base //= 2
+        level += 1
+    return base, level
+
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+K = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+
+base, finest = _factor_levels(N)
+cyc = CycleSpec(nu1=2, nu2=2, smoother="rbgs", restriction="pt",
+                tol=0.0, rtol=1e-8, max_cycles=40, use_pallas=True,
+                track_error=False)
+cfg = models.poisson3d(finest_level=finest, coarsest_level=max(0, finest - 6),
+                       coarsest_elements=base, dtype="float32", cycle=cyc)
+print(f"building lean hierarchy ({N}^3)...", file=sys.stderr)
+hier = build_lean_hierarchy(cfg)
+jax.block_until_ready(hier.finest.b)
+L = hier.num_levels - 1
+
+
+@jax.jit
+def k_cycles(h, v):
+    f = h.finest.b
+    return jax.lax.fori_loop(0, K, lambda i, vv: vcycle(h, cyc, L, vv, f), v)
+
+
+v0 = jnp.zeros_like(hier.finest.b)
+print("compiling V-cycle loop...", file=sys.stderr)
+t0 = time.time()
+v = k_cycles(hier, v0)
+float(v[1, 1, 1])
+print(f"compile+warmup {time.time() - t0:.1f}s; timing...", file=sys.stderr)
+
+reps = 2
+t0 = time.perf_counter()
+for _ in range(reps):
+    v = k_cycles(hier, v)
+    float(v[1, 1, 1])
+dt = (time.perf_counter() - t0) / reps / K
+
+ndofs = (N + 1) ** 3
+print(json.dumps({
+    "metric": "vcycle_throughput_3d_poisson_biggrid",
+    "n": N,
+    "ndofs": ndofs,
+    "ms_per_vcycle": round(dt * 1e3, 2),
+    "gdof_per_s": round(ndofs / dt / 1e9, 2),
+    "platform": jax.devices()[0].platform,
+}))
