@@ -415,7 +415,10 @@ def build_halo_solver3d(config: SolverConfig, mesh: Mesh):
                 return scatter_slab(full, li)
             return full
 
-        def vcycle(li, v, f):
+        def vcycle(li, v, f, shape=None):
+            # V / W / F shapes, matching solver.vcycle:225-237 (W recurses
+            # twice; F runs one F-recursion then one V-cycle)
+            shape = spec.cycle if shape is None else shape
             if li == 0:
                 return coarse_solve(f)
             v = smooth(li, v, f, spec.nu1)
@@ -426,7 +429,12 @@ def build_halo_solver3d(config: SolverConfig, mesh: Mesh):
             else:
                 r_full = gather_full(r, li) if li >= s else r
                 fc = restrict_repl(r_full, lms[li], lms[li - 1])
-            vc = vcycle(li - 1, jnp.zeros_like(fc), fc)
+            vc = vcycle(li - 1, jnp.zeros_like(fc), fc, shape)
+            if li - 1 > 0:
+                if shape == "W":
+                    vc = vcycle(li - 1, vc, fc, "W")
+                elif shape == "F":
+                    vc = vcycle(li - 1, vc, fc, "V")
             v = v + prolong_up(li, vc)
             return smooth(li, v, f, spec.nu2)
 

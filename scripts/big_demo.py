@@ -41,6 +41,7 @@ def _factor_levels(n_elems):
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
 K = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+DO_SOLVE = "--solve" in sys.argv
 
 base, finest = _factor_levels(N)
 cyc = CycleSpec(nu1=2, nu2=2, smoother="rbgs", restriction="pt",
@@ -75,11 +76,27 @@ for _ in range(reps):
 dt = (time.perf_counter() - t0) / reps / K
 
 ndofs = (N + 1) ** 3
-print(json.dumps({
+out = {
     "metric": "vcycle_throughput_3d_poisson_biggrid",
     "n": N,
     "ndofs": ndofs,
     "ms_per_vcycle": round(dt * 1e3, 2),
     "gdof_per_s": round(ndofs / dt / 1e9, 2),
     "platform": jax.devices()[0].platform,
-}))
+}
+
+if DO_SOLVE:
+    # full tolerance solve (FMG start + V-cycles to 1e-8 relative
+    # residual), timed end-to-end; frees the throughput buffers first
+    from multigrid_dolfinx_tpu import solve
+
+    del v, v0
+    print("solving to rtol 1e-8...", file=sys.stderr)
+    t0 = time.time()
+    res = solve(hier, cyc, mode="tol")
+    float(res.u[1, 1, 1])
+    out["solve_seconds_incl_compile"] = round(time.time() - t0, 1)
+    out["solve_cycles"] = int(res.num_cycles)
+    out["converged"] = bool(res.converged)
+
+print(json.dumps(out))

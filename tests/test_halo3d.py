@@ -70,14 +70,16 @@ def test_distributed_jacobi_matches_single_device():
 # ----------------------------------------------------------------------
 
 @requires_8_devices
-@pytest.mark.parametrize("smoother,dtype,utol", [
-    ("rbgs", "float32", 1e-5),
-    ("rbgs", "float64", 1e-12),
-    ("jacobi", "float64", 1e-12),
+@pytest.mark.parametrize("smoother,dtype,utol,cycle", [
+    ("rbgs", "float32", 1e-5, "V"),
+    ("rbgs", "float64", 1e-12, "V"),
+    ("jacobi", "float64", 1e-12, "V"),
+    ("rbgs", "float64", 1e-12, "W"),
+    ("rbgs", "float64", 1e-12, "F"),
 ])
 def test_distributed_vcycle_solve_matches_single_device(smoother, dtype,
-                                                        utol):
-    """The full z-decomposed FMG+V-cycle solve (distributed smoothing,
+                                                        utol, cycle):
+    """The full z-decomposed FMG+V/W/F-cycle solve (distributed smoothing,
     residual, pt restriction, trilinear prolongation, class-table FEM-L2
     norm psums, replicated coarse tail) reproduces the single-device lean
     solve: identical cycle counts, u to roundoff."""
@@ -87,7 +89,7 @@ def test_distributed_vcycle_solve_matches_single_device(smoother, dtype,
     from multigrid_dolfinx_tpu.parallel.halo3d import build_halo_solver3d
 
     cyc = CycleSpec(nu1=2, nu2=2, smoother=smoother, restriction="pt",
-                    tol=0.0, rtol=1e-6, max_cycles=40)
+                    cycle=cycle, tol=0.0, rtol=1e-6, max_cycles=40)
     cfg = models.poisson3d(finest_level=3, coarsest_level=1,
                            coarsest_elements=4, dtype=dtype, cycle=cyc)
     r1 = solve(build_lean_hierarchy(cfg), cyc, mode="tol")
