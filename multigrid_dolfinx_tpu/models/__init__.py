@@ -4,5 +4,7 @@ from .poisson import (
     poisson2d_p2,
     poisson3d,
     screened_poisson2d,
+    screened_poisson3d,
     variable_coefficient_2d,
+    variable_coefficient_3d,
 )

@@ -143,3 +143,64 @@ def variable_coefficient_2d(
         cycle=cycle if cycle is not None else CycleSpec(nu1=2, nu2=2),
         dtype=dtype,
     )
+
+
+def variable_coefficient_3d(
+    kappa: Callable,
+    finest_level: int = 2,
+    coarsest_level: int = 0,
+    coarsest_elements: int = 8,
+    dtype: str = "float64",
+    cycle: Optional[CycleSpec] = None,
+    exact: Optional[Callable] = None,
+    rhs: Optional[Callable] = None,
+) -> SolverConfig:
+    """3D -div(kappa grad u) = f with piecewise-constant-per-cell kappa
+    and Galerkin (RAP) coarse operators — the 3D generalization of
+    variable_coefficient_2d.  With dtype float32 the radius-1 planes
+    operators ride the 3D Pallas planes kernels (ops/pallas/stencil3d)."""
+    return SolverConfig(
+        problem=ProblemSpec(
+            ndim=3, kappa=kappa, exact=exact, rhs=rhs,
+            rhs_const=None if rhs is not None else -12.0,
+        ),
+        hierarchy=HierarchySpec(
+            coarsest_elements=coarsest_elements,
+            coarsest_level=coarsest_level,
+            finest_level=finest_level,
+            coarse_operator="galerkin",
+        ),
+        cycle=cycle if cycle is not None else CycleSpec(nu1=2, nu2=2),
+        dtype=dtype,
+    )
+
+
+def screened_poisson3d(
+    c: float = 10.0,
+    finest_level: int = 2,
+    coarsest_level: int = 0,
+    coarsest_elements: int = 8,
+    dtype: str = "float32",
+    cycle: Optional[CycleSpec] = None,
+) -> SolverConfig:
+    """3D screened Poisson: -Laplace(u) + c u = f with the manufactured
+    u* = 1 + x^2 + 2y^2 + 3z^2 (f = -12 + c u*).  The reaction term adds
+    c*M (15-point consistent mass on Kuhn tetrahedra), so the operator is
+    a radius-1 box stencil — with dtype float32 it rides the 3D Pallas
+    planes kernels (2^3-color GS)."""
+    exact = lambda x, y, z: 1.0 + x * x + 2.0 * y * y + 3.0 * z * z
+    rhs = lambda x, y, z: -12.0 + c * (1.0 + x * x + 2.0 * y * y
+                                       + 3.0 * z * z)
+    return SolverConfig(
+        problem=ProblemSpec(ndim=3, rhs=rhs, rhs_const=None, exact=exact,
+                            reaction=c),
+        hierarchy=HierarchySpec(
+            coarsest_elements=coarsest_elements,
+            coarsest_level=coarsest_level,
+            finest_level=finest_level,
+        ),
+        cycle=cycle if cycle is not None else CycleSpec(
+            nu1=2, nu2=2, smoother="rbgs", restriction="pt",
+        ),
+        dtype=dtype,
+    )

@@ -50,13 +50,16 @@ def const7_weights(A: StencilOperator):
 def pallas_planes_eligible(A: StencilOperator, shape: Tuple[int, ...],
                            dtype) -> bool:
     """Can the variable-coefficient (planes) kernels handle this operator?
-    Any eliminated radius-1 planes operator in 2D qualifies: Galerkin,
-    kappa(x), screened Poisson — the configurations that previously always
-    fell back to the ~20x-slower jnp path (reference capability: dolfinx's
-    general forms, Multigrid_prototype.py:88-91)."""
-    if A.planes is None or len(shape) != 2:
+    Any eliminated radius-1 planes operator in 2D or 3D qualifies:
+    Galerkin, kappa(x), screened Poisson — the configurations that
+    previously always fell back to the much slower plain-XLA path
+    (reference capability: dolfinx's general forms,
+    Multigrid_prototype.py:88-91)."""
+    if A.planes is None or len(shape) not in (2, 3):
         return False
     if A.radius != 1:
+        return False
+    if len(shape) == 3 and shape[0] < 3:
         return False
     return jnp.dtype(dtype) == jnp.float32 and layout_aligned(shape)
 

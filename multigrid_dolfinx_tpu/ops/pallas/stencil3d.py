@@ -1233,3 +1233,244 @@ def prolong_linear_add(c_coarse, v_fine, lmf: int, interpret: bool = False):
             {1: 0} if os.environ.get("MG_ALIAS", "0") == "1" else {}),
         interpret=interpret,
     )(c_coarse, v_fine)
+
+
+# ----------------------------------------------------------------------
+# Variable-coefficient (planes) kernels — 3D radius-1 operators.
+#
+# The eliminated planes representation (ops/operators.py) carries ALL
+# boundary/padding semantics in the coefficients themselves (identity
+# diagonal + zero off-diagonals on Dirichlet rows, all-zero planes on
+# padding rows), so unlike the const-7 kernels these need no interior
+# iota masks: wrapped roll values and out-of-window z neighbors only ever
+# reach rows whose off-diagonal plane weights are zero.  Covers the 3D
+# configurations that previously always fell back to the plain-XLA path
+# (variable kappa(x), screened Poisson, Galerkin RAP coarse operators —
+# reference capability: dolfinx's general forms,
+# Multigrid_prototype.py:88-91).
+#
+# Layout per z-block: v gets a (tz + 2)-slab double-buffered window
+# (manual DMA, 1-deep halo); f and the K coefficient planes are read for
+# the tz OUTPUT slabs only via BlockSpec streaming (coefficients of row
+# p multiply neighbors OF row p — they need no halo).  Multicolor GS runs
+# one kernel pass per color (the colors of ops.smoothers.
+# multicolor_gs_smooth: sum-parity red-black for axis-only stencils, the
+# 2^3 coordinate-parity classes for general radius-1).
+# ----------------------------------------------------------------------
+
+def _pick_tz_planes3(Mz, My, Mx, K, itemsize: int = 4) -> int:
+    import os
+
+    slab = My * Mx * itemsize
+    env = os.environ.get("MG_TZ_PLANES3")
+    cand = (int(env),) if env else (4, 2, 1)
+    budget = 88 * 1024 * 1024
+    for tz in cand:
+        # v windows 2(tz+2) + pallas-pipelined f/planes/out blocks
+        # 2(K+2)tz + ~6 slabs of kernel-body intermediates
+        need = (2 * (tz + 2) + 2 * (K + 2) * tz + 6) * slab
+        if Mz % tz == 0 and Mz >= tz + 2 and need <= budget:
+            return tz
+    return 0
+
+
+def _planes3_kernel(body):
+    """Shared plumbing: double-buffered (tz+2)-slab v window + BlockSpec
+    f/planes blocks; body emits the tz output slabs."""
+
+    def kernel(zb_ref, v_hbm, f_ref, p_ref, out_ref, vwin, sems, *,
+               Mz, My, Mx, tz, **kw):
+        i = pl.program_id(0)
+        nprog = pl.num_programs(0)
+        ws = tz + 2
+        zb = zb_ref[0, 0]
+
+        def window_start(block):
+            return jnp.clip(block * tz - 1, 0, Mz - ws)
+
+        def dma(block, slot):
+            z0 = window_start(block)
+            return pltpu.make_async_copy(
+                v_hbm.at[pl.ds(z0, ws), :, :], vwin.at[slot], sems.at[slot])
+
+        slot = jax.lax.rem(i, jnp.int32(2))
+
+        @pl.when(i == 0)
+        def _():
+            dma(0, 0).start()
+
+        @pl.when(i + 1 < nprog)
+        def _():
+            dma(i + 1, jax.lax.rem(i + 1, jnp.int32(2))).start()
+
+        dma(i, slot).wait()
+        v = vwin[slot]
+        o = i * tz - window_start(i)            # 0, 1, or 2
+        for oc in (0, 1, 2):
+            @pl.when(o == oc)
+            def _(oc=oc):
+                outs = body(v, f_ref, p_ref, window_start(i) + zb, oc, tz,
+                            ws, (My, Mx), **kw)
+                for sl in range(tz):
+                    out_ref[sl] = outs[sl]
+
+    return kernel
+
+
+def _p3_apply_row(v, p_sl, wrel, ws, offs, shape2, skip_center=None,
+                  ci=None):
+    """(A u) at window row wrel from the row's own coefficient planes:
+    sum_k p_sl[k] * u[wrel + dz] rolled by (dy, dx).  Indexing is modulo
+    the window (the wrap only reaches Dirichlet/padding rows whose
+    off-diagonal planes are zero)."""
+    acc = jnp.zeros(shape2, v.dtype)
+    for k, (dz, dy, dx) in enumerate(offs):
+        if skip_center is not None and k == skip_center:
+            continue
+        t = v[(wrel + dz) % ws]
+        if dy:
+            t = _roll(t, -dy, 0)
+        if dx:
+            t = _roll(t, -dx, 1)
+        acc = acc + p_sl[k] * t
+    return acc
+
+
+def _p3_dinv(pc):
+    return 1.0 / jnp.where(pc == 0.0, jnp.ones_like(pc), pc)
+
+
+def _color_mask3(color, zg, shape2):
+    """Static color spec -> (My, Mx) mask for global z slab `zg` (traced
+    scalar).  ('sum', p): (z+y+x) % 2 == p.  ('coord', (pz,py,px)):
+    per-axis parity classes."""
+    y = jax.lax.broadcasted_iota(jnp.int32, shape2, 0)
+    x = jax.lax.broadcasted_iota(jnp.int32, shape2, 1)
+    kind, par = color
+    if kind == "sum":
+        return ((y + x) % 2) == ((par + zg) % 2)
+    pz, py, px = par
+    gate = (zg % 2) == pz
+    return jnp.logical_and(gate, ((y % 2) == py) & ((x % 2) == px))
+
+
+def _p3_gs_body(v, f_ref, p_ref, z0w, oc, tz, ws, shape2, *, offs, ci,
+                color):
+    outs = []
+    for sl in range(tz):
+        wrel = oc + sl
+        p_sl = p_ref[:, sl]
+        acc = _p3_apply_row(v, p_sl, wrel, ws, offs, shape2)
+        cand = v[wrel] + _p3_dinv(p_sl[ci]) * (f_ref[sl] - acc)
+        mask = _color_mask3(color, z0w + wrel, shape2)
+        outs.append(jnp.where(mask, cand, v[wrel]))
+    return outs
+
+
+def _p3_jacobi_body(v, f_ref, p_ref, z0w, oc, tz, ws, shape2, *, offs, ci,
+                    w):
+    outs = []
+    for sl in range(tz):
+        wrel = oc + sl
+        p_sl = p_ref[:, sl]
+        acc = _p3_apply_row(v, p_sl, wrel, ws, offs, shape2,
+                            skip_center=ci)
+        dinv = _p3_dinv(p_sl[ci])
+        # reference jacobiRelaxation association (multigrid.py:223-228)
+        outs.append((1.0 - w) * v[wrel] + w * (dinv * f_ref[sl]
+                                               - dinv * acc))
+    return outs
+
+
+def _p3_residual_body(v, f_ref, p_ref, z0w, oc, tz, ws, shape2, *, offs):
+    outs = []
+    for sl in range(tz):
+        wrel = oc + sl
+        acc = _p3_apply_row(v, p_ref[:, sl], wrel, ws, offs, shape2)
+        outs.append(f_ref[sl] - acc)
+    return outs
+
+
+def _call_planes3(body, v, f, planes, interpret, z_base=None, **kw):
+    Mz, My, Mx = v.shape
+    K = planes.shape[0]
+    tz = _pick_tz_planes3(Mz, My, Mx, K)
+    if tz == 0:
+        return None                      # caller falls back to jnp
+    kernel = functools.partial(
+        _planes3_kernel(body), Mz=Mz, My=My, Mx=Mx, tz=tz, **kw
+    )
+    zb = jnp.full((1, 1), 0 if z_base is None else z_base, jnp.int32)
+    return pl.pallas_call(
+        kernel,
+        grid=(Mz // tz,),
+        in_specs=[
+            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((tz, My, Mx), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, tz, My, Mx), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tz, My, Mx), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(v.shape, v.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, tz + 2, My, Mx), v.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(zb, v, f, planes)
+
+
+def planes3_colors(offsets) -> tuple:
+    """The color schedule of ops.smoothers.multicolor_gs_smooth for a 3D
+    radius-1 operator: sum-parity red-black when axis-only, else the 2^3
+    coordinate-parity classes (itertools.product order)."""
+    axis_only = all(
+        sum(1 for d in off if d != 0) <= 1 for off in map(tuple, offsets))
+    if axis_only:
+        return (("sum", 0), ("sum", 1))
+    return tuple(("coord", (pz, py, px))
+                 for pz in (0, 1) for py in (0, 1) for px in (0, 1))
+
+
+def planes3_gs_sweep(v, f, planes, offsets, interpret=False, z_base=None):
+    """One full multicolor GS sweep on a 3D radius-1 planes operator, one
+    kernel pass per color; None if the shape doesn't admit the kernel."""
+    offs = tuple(map(tuple, offsets))
+    ci = offs.index((0, 0, 0))
+    for color in planes3_colors(offs):
+        out = _call_planes3(
+            _p3_gs_body, v, f, planes, interpret, z_base=z_base,
+            offs=offs, ci=ci, color=color,
+        )
+        if out is None:
+            return None
+        v = out
+    return v
+
+
+def planes3_jacobi_sweep(v, f, planes, offsets, w, interpret=False,
+                         z_base=None):
+    """One weighted-Jacobi sweep on a 3D radius-1 planes operator; None if
+    the shape doesn't admit the kernel."""
+    offs = tuple(map(tuple, offsets))
+    ci = offs.index((0, 0, 0))
+    return _call_planes3(
+        _p3_jacobi_body, v, f, planes, interpret, z_base=z_base,
+        offs=offs, ci=ci, w=float(w),
+    )
+
+
+def planes3_residual(v, f, planes, offsets, interpret=False, z_base=None):
+    """Fused r = f - A v on a 3D radius-1 planes operator; None if the
+    shape doesn't admit the kernel."""
+    offs = tuple(map(tuple, offsets))
+    return _call_planes3(
+        _p3_residual_body, v, f, planes, interpret, z_base=z_base,
+        offs=offs,
+    )

@@ -266,19 +266,35 @@ def _pallas_rbgs(sm, A, v, f, nsweeps):
 
 
 def _pallas_planes(sm, A, v, f, nsweeps, kind):
-    """Planes-kernel smoothing (variable-coefficient / Galerkin 2D)."""
+    """Planes-kernel smoothing (variable-coefficient / Galerkin, 2D and
+    3D).  Returns None when the 3D kernels don't admit the shape (caller
+    falls back to the jnp path)."""
     from . import dispatch
-    from .pallas import stencil2d
 
     interp = dispatch.interpret_mode()
     axis_only = A.axis_only and A.radius == 1
 
-    def sweep(_, v):
-        if kind == "jacobi":
-            return stencil2d.planes_jacobi_sweep(
-                v, f, A.planes, A.offsets, sm.omega, interpret=interp)
-        return stencil2d.planes_gs_sweep(
-            v, f, A.planes, A.offsets, axis_only, interpret=interp)
+    if v.ndim == 2:
+        from .pallas import stencil2d
+
+        def sweep(_, v):
+            if kind == "jacobi":
+                return stencil2d.planes_jacobi_sweep(
+                    v, f, A.planes, A.offsets, sm.omega, interpret=interp)
+            return stencil2d.planes_gs_sweep(
+                v, f, A.planes, A.offsets, axis_only, interpret=interp)
+    else:
+        from .pallas import stencil3d
+
+        if stencil3d._pick_tz_planes3(*v.shape, A.planes.shape[0]) == 0:
+            return None                  # shape doesn't admit the kernel
+
+        def sweep(_, v):
+            if kind == "jacobi":
+                return stencil3d.planes3_jacobi_sweep(
+                    v, f, A.planes, A.offsets, sm.omega, interpret=interp)
+            return stencil3d.planes3_gs_sweep(
+                v, f, A.planes, A.offsets, interpret=interp)
 
     if nsweeps <= 2:
         for k in range(nsweeps):
@@ -308,7 +324,9 @@ def smooth(
                 return _pallas_rbgs(sm, A, v, f, nsweeps)
         elif (kind in ("jacobi", "rbgs")
               and dispatch.pallas_planes_eligible(A, v.shape, v.dtype)):
-            return _pallas_planes(sm, A, v, f, nsweeps, kind)
+            out = _pallas_planes(sm, A, v, f, nsweeps, kind)
+            if out is not None:
+                return out
     if kind == "jacobi":
         return jacobi_smooth(sm, v, f, nsweeps, A=A)
     if kind == "rbgs":

@@ -247,6 +247,18 @@ def build_hierarchy(
             pad_points = [
                 (_r(a.grid.n + 1, 128), _r(a.grid.n + 1, 128)) for a in asms
             ]
+        elif config.cycle.use_pallas and config.problem.ndim == 3:
+            # z is tiling-free; (y, x) on (8, 128) boundaries — same
+            # layout as build_lean_hierarchy, so the 3D planes kernels
+            # (and the const-7 kernels for full builds) are eligible
+            def _r(x, m):
+                return ((x + m - 1) // m) * m
+
+            pad_points = [
+                (_r(a.grid.n + 1, 8), _r(a.grid.n + 1, 8),
+                 _r(a.grid.n + 1, 128))
+                for a in asms
+            ]
         else:
             pad_points = [None] * len(asms)
 

@@ -53,12 +53,21 @@ def compute_residual(level, v, f, use_pallas: bool = False) -> jax.Array:
                 interpret=dispatch.interpret_mode(),
             )
         if dispatch.pallas_planes_eligible(level.A, v.shape, v.dtype):
-            from ..ops.pallas import stencil2d
+            if v.ndim == 2:
+                from ..ops.pallas import stencil2d
 
-            return stencil2d.planes_residual(
+                return stencil2d.planes_residual(
+                    v, f, level.A.planes, level.A.offsets,
+                    interpret=dispatch.interpret_mode(),
+                )
+            from ..ops.pallas import stencil3d
+
+            out = stencil3d.planes3_residual(
                 v, f, level.A.planes, level.A.offsets,
                 interpret=dispatch.interpret_mode(),
             )
+            if out is not None:
+                return out
     return f - level.A.apply(v)
 
 

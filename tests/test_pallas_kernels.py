@@ -489,3 +489,151 @@ def test_3d_restrict_residual_fused_matches_separate(lev3d):
                                          wc, woff, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-6, atol=2e-6)
+
+
+# ----------------------------------------------------------------------
+# Variable-coefficient (planes) kernels — 3D
+# ----------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def lev_kappa3():
+    """Pallas-padded variable-kappa 3D hierarchy: the finest operator is
+    a rediscretized radius-1 planes operator (variable kappa breaks the
+    7-point cancellation -> non-axis offsets -> 2^3-color GS), the coarse
+    operator is Galerkin RAP (27-point box)."""
+    cyc = CycleSpec(nu1=2, nu2=2, smoother="rbgs", restriction="pt",
+                    tol=0.0, rtol=1e-5, max_cycles=30, use_pallas=True)
+    cfg = models.variable_coefficient_3d(
+        lambda x, y, z: 1.0 + x + 2.0 * y + z, finest_level=1,
+        coarsest_level=0, coarsest_elements=8, dtype="float32", cycle=cyc)
+    hier = build_hierarchy(cfg)
+    return cfg, hier
+
+
+def test_planes3_eligibility(lev_kappa3):
+    cfg, hier = lev_kappa3
+    fl = hier.finest
+    assert fl.A.planes is not None
+    assert fl.A.radius == 1
+    assert not dispatch.pallas_eligible(fl.A, fl.shape, jnp.float32)
+    assert dispatch.pallas_planes_eligible(fl.A, fl.shape, jnp.float32)
+
+
+def test_planes3_jacobi_matches_jnp(lev_kappa3):
+    from multigrid_dolfinx_tpu.ops.pallas import stencil3d
+
+    cfg, hier = lev_kappa3
+    fl = hier.finest
+    v = _rand3(fl.shape, fl.n + 1, 41)
+    f = fl.b
+    want = jacobi_smooth(fl.sm, v, f, 1, A=fl.A)
+    got = stencil3d.planes3_jacobi_sweep(v, f, fl.A.planes, fl.A.offsets,
+                                         fl.sm.omega, interpret=True)
+    assert got is not None
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+    assert np.all(np.asarray(got)[fl.n + 1:, :, :] == 0)
+
+
+def test_planes3_gs_matches_jnp(lev_kappa3):
+    """2^3-coordinate-parity multicolor GS through the per-color kernel
+    passes == the jnp multicolor_gs_smooth (same color order)."""
+    from multigrid_dolfinx_tpu.ops.pallas import stencil3d
+
+    cfg, hier = lev_kappa3
+    fl = hier.finest
+    v = _rand3(fl.shape, fl.n + 1, 42)
+    f = fl.b
+    want = multicolor_gs_smooth(fl.sm, fl.A, v, f, 1)
+    got = stencil3d.planes3_gs_sweep(v, f, fl.A.planes, fl.A.offsets,
+                                     interpret=True)
+    assert got is not None
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_planes3_gs_axis_only_colors():
+    """Axis-only planes operators take the sum-parity 2-color schedule —
+    run the const-7 operator's planes form (full, non-lean hierarchy)
+    through the planes kernel and compare against the jnp red-black
+    sweep."""
+    from multigrid_dolfinx_tpu.ops.pallas import stencil3d
+
+    cyc = CycleSpec(nu1=2, nu2=2, smoother="rbgs", restriction="pt",
+                    tol=0.0, rtol=1e-6, max_cycles=30, use_pallas=True)
+    cfg = models.poisson3d(finest_level=1, coarsest_level=0,
+                           coarsest_elements=8, dtype="float32", cycle=cyc)
+    hier = build_hierarchy(cfg)
+    fl = hier.finest
+    assert fl.A.planes is not None and fl.A.axis_only
+    v = _rand3(fl.shape, fl.n + 1, 43)
+    f = fl.b
+    want = multicolor_gs_smooth(fl.sm, fl.A, v, f, 1)
+    got = stencil3d.planes3_gs_sweep(v, f, fl.A.planes, fl.A.offsets,
+                                     interpret=True)
+    assert got is not None
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_planes3_residual_matches_jnp(lev_kappa3):
+    from multigrid_dolfinx_tpu.ops.pallas import stencil3d
+
+    cfg, hier = lev_kappa3
+    fl = hier.finest
+    v = _rand3(fl.shape, fl.n + 1, 44)
+    f = fl.b
+    want = f - fl.A.apply(v)
+    got = stencil3d.planes3_residual(v, f, fl.A.planes, fl.A.offsets,
+                                     interpret=True)
+    assert got is not None
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_planes3_full_solve_matches_jnp_path(lev_kappa3):
+    """Variable-kappa 3D solve through the planes kernels (smoothing +
+    residual + pt transfers, Galerkin coarse level) == jnp path: same
+    cycle count, same solution."""
+    cfg, hier = lev_kappa3
+    rp = solve(hier, cfg.cycle, mode="tol")
+    import dataclasses as dc
+
+    cyc_j = dc.replace(cfg.cycle, use_pallas=False)
+    rj = solve(hier, cyc_j, mode="tol")
+    assert bool(rp.converged)
+    assert int(rp.num_cycles) == int(rj.num_cycles)
+    lm = hier.finest.n + 1
+    np.testing.assert_allclose(
+        np.asarray(rp.u)[:lm, :lm, :lm], np.asarray(rj.u)[:lm, :lm, :lm],
+        rtol=3e-5, atol=3e-5,
+    )
+
+
+def test_planes3_screened_solve_matches_jnp_path():
+    """3D screened Poisson (-Laplace u + c u = f): the reaction term's
+    15-point box stencil takes the 2^3-color planes kernels; pallas ==
+    jnp path (same cycle count, same u) and the solve lands on the
+    manufactured solution."""
+    cyc = CycleSpec(nu1=2, nu2=2, smoother="rbgs", restriction="pt",
+                    tol=0.0, rtol=1e-5, max_cycles=30, use_pallas=True)
+    cfg = models.screened_poisson3d(
+        c=10.0, finest_level=1, coarsest_level=0, coarsest_elements=8,
+        dtype="float32", cycle=cyc)
+    hier = build_hierarchy(cfg)
+    fl = hier.finest
+    assert fl.A.planes is not None and not fl.A.axis_only
+    assert dispatch.pallas_planes_eligible(fl.A, fl.shape, jnp.float32)
+    rp = solve(hier, cfg.cycle, mode="tol")
+    import dataclasses as dc
+
+    rj = solve(hier, dc.replace(cfg.cycle, use_pallas=False), mode="tol")
+    assert bool(rp.converged)
+    assert int(rp.num_cycles) == int(rj.num_cycles)
+    lm = fl.n + 1
+    np.testing.assert_allclose(
+        np.asarray(rp.u)[:lm, :lm, :lm], np.asarray(rj.u)[:lm, :lm, :lm],
+        rtol=3e-5, atol=3e-5,
+    )
+    u = np.asarray(rp.u)
+    assert abs(u[lm // 2, lm // 2, lm // 2] - 2.5) < 2e-2
