@@ -275,10 +275,75 @@ def detect_const_stencil(
     return tuple(weights)
 
 
+def _class_quad_chunked(op: StencilOperator, u: jax.Array, v: jax.Array,
+                        chunk: int = 8) -> jax.Array:
+    """u^T A v for a class-tables operator, accumulated over z-slab chunks
+    so no full-grid temporary is ever materialized.
+
+    Motivation: XLA assigns the fused full-grid matvec of the plain path a
+    full-size HLO temp at EVERY residual-norm call site of the jitted
+    solve program — at 768^3 that was seven simultaneous 2 GB buffers
+    (14 GB of HLO temps), the difference between the tolerance solve
+    fitting a 16 GB chip and not.  Chunking bounds the temporaries to
+    (chunk + 2r) slabs.  Only used above a size gate: the chunked sum
+    reassociates f32 additions, and the parity-pinned small configs must
+    keep the exact original summation order."""
+    Mz, My, Mx = v.shape
+    r = op.radius
+    lm = op.logical_m
+    W = chunk + 2 * r
+    if Mz % chunk:
+        raise ValueError(
+            f"chunked quadratic form needs Mz % chunk == 0, got {Mz} % "
+            f"{chunk} (the quadratic_form gate enforces this)")
+    nch = Mz // chunk
+
+    yx_shape = (chunk, My, Mx)
+    y = jax.lax.broadcasted_iota(jnp.int32, yx_shape, 1)
+    x = jax.lax.broadcasted_iota(jnp.int32, yx_shape, 2)
+    cy = jnp.where(y == 0, 0, jnp.where(y == lm - 1, 2, 1))
+    cx = jnp.where(x == 0, 0, jnp.where(x == lm - 1, 2, 1))
+    zi = jax.lax.broadcasted_iota(jnp.int32, yx_shape, 0)
+    inbox_yx = (y <= lm - 1) & (x <= lm - 1)
+    tables = op.class_tables
+
+    def body(i, acc):
+        z0 = i * chunk
+        lo = jnp.clip(z0 - r, 0, Mz - W)
+        off = z0 - lo
+        blk = jax.lax.dynamic_slice_in_dim(v, lo, W, axis=0)
+        blkp = jnp.pad(blk, ((r, r), (r, r), (r, r)))
+        ublk = jax.lax.dynamic_slice_in_dim(u, z0, chunk, axis=0)
+        zg = z0 + zi
+        cz = jnp.where(zg == 0, 0, jnp.where(zg == lm - 1, 2, 1))
+        cls = (cz * 3 + cy) * 3 + cx
+        inbox = jnp.logical_and(inbox_yx, zg <= lm - 1)
+        out = None
+        for k, (dz, dy, dx) in enumerate(op.offsets):
+            nbr = jax.lax.dynamic_slice(
+                blkp, (off + dz + r, r + dy, r + dx), yx_shape)
+            term = tables[k].reshape(-1)[cls] * nbr
+            out = term if out is None else out + term
+        out = jnp.where(inbox, out, jnp.zeros_like(out))
+        return acc + jnp.sum(ublk * out)
+
+    return jax.lax.fori_loop(0, nch, body, jnp.zeros((), v.dtype))
+
+
 def quadratic_form(op: StencilOperator, u: jax.Array, v: jax.Array) -> jax.Array:
     """u^T A v as an on-device reduction (used for mass-weighted norms —
     the replacement for the reference's dolfinx assemble_scalar round trip,
     multigrid.py:203-218)."""
+    if (
+        op.class_tables is not None
+        and v.ndim == 3
+        and v.size > (1 << 28)           # ~268M padded points (> 512^3):
+                                         # exactly the grids whose solve
+                                         # program otherwise blows HBM
+        and v.shape[0] % 8 == 0
+        and v.shape[0] >= 8 + 2 * op.radius
+    ):
+        return _class_quad_chunked(op, u, v)
     return jnp.sum(u * op.apply(v))
 
 

@@ -1,0 +1,80 @@
+"""Measure the 3D variable-coefficient (planes) kernels on the TPU.
+
+Variable kappa(x) diffusion at N^3, f32, V(2,2) multicolor GS + pt:
+times K V-cycles through the planes Pallas kernels and through the plain
+jnp path on the same hierarchy.  Usage:
+    python scripts/bench_planes3.py [N] [K]
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import dataclasses
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from multigrid_dolfinx_tpu.utils.compile_cache import enable_compilation_cache
+enable_compilation_cache()
+
+from multigrid_dolfinx_tpu import build_hierarchy, models
+from multigrid_dolfinx_tpu.config import CycleSpec
+from multigrid_dolfinx_tpu.solver.vcycle import vcycle
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+K = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+
+
+def _factor_levels(n):
+    lvl, base = 0, n
+    while base % 2 == 0 and base > 8:
+        base //= 2
+        lvl += 1
+    return base, lvl
+
+
+base, finest = _factor_levels(N)
+cyc = CycleSpec(nu1=2, nu2=2, smoother="rbgs", restriction="pt",
+                tol=0.0, rtol=1e-6, max_cycles=40, use_pallas=True,
+                track_error=False)
+cfg = models.variable_coefficient_3d(
+    lambda x, y, z: 1.0 + x + 2.0 * y + z,
+    finest_level=finest, coarsest_level=max(0, finest - 4),
+    coarsest_elements=base, dtype="float32", cycle=cyc)
+print(f"building variable-kappa hierarchy ({N}^3)...", file=sys.stderr)
+hier = build_hierarchy(cfg)
+jax.block_until_ready(hier.finest.b)
+L = hier.num_levels - 1
+ndofs = (N + 1) ** 3
+
+
+def timed(spec, k):
+    @jax.jit
+    def run(h, v):
+        f = h.finest.b
+        return jax.lax.fori_loop(0, k, lambda i, vv: vcycle(h, spec, L, vv, f), v)
+
+    v = jnp.zeros_like(hier.finest.b)
+    t0 = time.time()
+    v = run(hier, v)
+    float(v[1, 1, 1])
+    print(f"  compile+warmup {time.time() - t0:.1f}s", file=sys.stderr)
+    t0 = time.perf_counter()
+    v = run(hier, v)
+    float(v[1, 1, 1])
+    return (time.perf_counter() - t0) / k
+
+
+dt_pallas = timed(cyc, K)
+dt_jnp = timed(dataclasses.replace(cyc, use_pallas=False), max(2, K // 5))
+print(json.dumps({
+    "metric": "vcycle_variable_kappa_3d",
+    "n": N, "ndofs": ndofs,
+    "ms_per_vcycle_pallas": round(dt_pallas * 1e3, 2),
+    "ms_per_vcycle_jnp": round(dt_jnp * 1e3, 2),
+    "speedup": round(dt_jnp / dt_pallas, 1),
+    "gdof_per_s_pallas": round(ndofs / dt_pallas / 1e9, 2),
+    "platform": jax.devices()[0].platform,
+}))

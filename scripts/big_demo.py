@@ -50,7 +50,7 @@ cyc = CycleSpec(nu1=2, nu2=2, smoother="rbgs", restriction="pt",
 cfg = models.poisson3d(finest_level=finest, coarsest_level=max(0, finest - 6),
                        coarsest_elements=base, dtype="float32", cycle=cyc)
 print(f"building lean hierarchy ({N}^3)...", file=sys.stderr)
-hier = build_lean_hierarchy(cfg)
+hier = build_lean_hierarchy(cfg, store_g=False)
 jax.block_until_ready(hier.finest.b)
 L = hier.num_levels - 1
 
@@ -85,9 +85,13 @@ out = {
     "platform": jax.devices()[0].platform,
 }
 
+print(json.dumps(out), flush=True)
+
 if DO_SOLVE:
     # full tolerance solve (FMG start + V-cycles to 1e-8 relative
-    # residual), timed end-to-end; frees the throughput buffers first
+    # residual), timed end-to-end; frees the throughput buffers first.
+    # Printed as a SECOND json line so an OOM here doesn't lose the
+    # throughput result above.
     from multigrid_dolfinx_tpu import solve
 
     del v, v0
@@ -95,8 +99,11 @@ if DO_SOLVE:
     t0 = time.time()
     res = solve(hier, cyc, mode="tol")
     float(res.u[1, 1, 1])
-    out["solve_seconds_incl_compile"] = round(time.time() - t0, 1)
-    out["solve_cycles"] = int(res.num_cycles)
-    out["converged"] = bool(res.converged)
-
-print(json.dumps(out))
+    print(json.dumps({
+        "metric": "solve_3d_poisson_biggrid",
+        "n": N,
+        "ndofs": ndofs,
+        "solve_seconds_incl_compile": round(time.time() - t0, 1),
+        "solve_cycles": int(res.num_cycles),
+        "converged": bool(res.converged),
+    }))

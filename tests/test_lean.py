@@ -106,3 +106,30 @@ def test_lean_mass_norm_matches_full(ndim, finest):
     r_lean = solve(h_lean, cyc, mode="tol")
     assert bool(r_lean.converged)
     assert int(r_lean.num_cycles) == int(r_full.num_cycles)
+
+
+def test_chunked_quadratic_form_matches_plain():
+    """The z-chunked class-table quadratic form (the no-full-grid-temp
+    path used for >=512^3 residual norms, where XLA's per-call-site HLO
+    temps otherwise cost 7 fine arrays of HBM) == the plain fused matvec
+    reduction, on an oddly-sized padded 3D grid."""
+    from multigrid_dolfinx_tpu.ops.operators import (
+        _class_quad_chunked,
+        quadratic_form,
+    )
+
+    cyc = CycleSpec(nu1=2, nu2=2, smoother="rbgs", restriction="pt",
+                    tol=1e-7, max_cycles=40, use_pallas=True)
+    cfg = models.poisson3d(finest_level=2, coarsest_level=1,
+                           dtype="float64", cycle=cyc)
+    h = build_lean_hierarchy(cfg)          # padded: Mz % 8 == 0
+    M = h.M_fine
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(rng.standard_normal(h.finest.shape))
+    v = jnp.asarray(rng.standard_normal(h.finest.shape))
+    want = float(quadratic_form(M, u, v))        # small grid -> plain path
+    got = float(_class_quad_chunked(M, u, v))
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+    # chunk size not dividing evenly into clamped windows at both ends
+    got4 = float(_class_quad_chunked(M, u, v, chunk=4))
+    np.testing.assert_allclose(got4, want, rtol=1e-12)
