@@ -1276,7 +1276,12 @@ def _pick_tz_planes3(Mz, My, Mx, K, itemsize: int = 4) -> int:
 
 def _planes3_kernel(body):
     """Shared plumbing: double-buffered (tz+2)-slab v window + BlockSpec
-    f/planes blocks; body emits the tz output slabs."""
+    f/planes blocks; body emits the tz output slabs.
+
+    The SMEM scalar block carries (z_base, color): the multicolor-GS
+    color is a RUNTIME scalar, not a compile-time constant, so all 8
+    coordinate-parity (or 2 sum-parity) color passes share ONE compiled
+    Mosaic kernel instead of costing a separate large compile each."""
 
     def kernel(zb_ref, v_hbm, f_ref, p_ref, out_ref, vwin, sems, *,
                Mz, My, Mx, tz, **kw):
@@ -1284,6 +1289,7 @@ def _planes3_kernel(body):
         nprog = pl.num_programs(0)
         ws = tz + 2
         zb = zb_ref[0, 0]
+        cv = zb_ref[0, 1]
 
         def window_start(block):
             return jnp.clip(block * tz - 1, 0, Mz - ws)
@@ -1310,7 +1316,7 @@ def _planes3_kernel(body):
             @pl.when(o == oc)
             def _(oc=oc):
                 outs = body(v, f_ref, p_ref, window_start(i) + zb, oc, tz,
-                            ws, (My, Mx), **kw)
+                            ws, (My, Mx), cv=cv, **kw)
                 for sl in range(tz):
                     out_ref[sl] = outs[sl]
 
@@ -1340,35 +1346,35 @@ def _p3_dinv(pc):
     return 1.0 / jnp.where(pc == 0.0, jnp.ones_like(pc), pc)
 
 
-def _color_mask3(color, zg, shape2):
-    """Static color spec -> (My, Mx) mask for global z slab `zg` (traced
-    scalar).  ('sum', p): (z+y+x) % 2 == p.  ('coord', (pz,py,px)):
-    per-axis parity classes."""
+def _color_mask3(kind, cv, zg, shape2):
+    """Color mask for global z slab `zg` from the RUNTIME color scalar cv.
+    kind='sum' (axis-only stencils): (z+y+x) % 2 == cv.  kind='coord':
+    cv = pz*4 + py*2 + px packs the per-axis parity class (the
+    itertools.product order of ops.smoothers.multicolor_gs_smooth)."""
     y = jax.lax.broadcasted_iota(jnp.int32, shape2, 0)
     x = jax.lax.broadcasted_iota(jnp.int32, shape2, 1)
-    kind, par = color
     if kind == "sum":
-        return ((y + x) % 2) == ((par + zg) % 2)
-    pz, py, px = par
-    gate = (zg % 2) == pz
-    return jnp.logical_and(gate, ((y % 2) == py) & ((x % 2) == px))
+        return ((y + x) % 2) == ((cv + zg) % 2)
+    gate = (zg % 2) == (cv // 4)
+    return jnp.logical_and(
+        gate, ((y % 2) == ((cv // 2) % 2)) & ((x % 2) == (cv % 2)))
 
 
-def _p3_gs_body(v, f_ref, p_ref, z0w, oc, tz, ws, shape2, *, offs, ci,
-                color):
+def _p3_gs_body(v, f_ref, p_ref, z0w, oc, tz, ws, shape2, *, cv, offs, ci,
+                kind):
     outs = []
     for sl in range(tz):
         wrel = oc + sl
         p_sl = p_ref[:, sl]
         acc = _p3_apply_row(v, p_sl, wrel, ws, offs, shape2)
         cand = v[wrel] + _p3_dinv(p_sl[ci]) * (f_ref[sl] - acc)
-        mask = _color_mask3(color, z0w + wrel, shape2)
+        mask = _color_mask3(kind, cv, z0w + wrel, shape2)
         outs.append(jnp.where(mask, cand, v[wrel]))
     return outs
 
 
-def _p3_jacobi_body(v, f_ref, p_ref, z0w, oc, tz, ws, shape2, *, offs, ci,
-                    w):
+def _p3_jacobi_body(v, f_ref, p_ref, z0w, oc, tz, ws, shape2, *, cv,
+                    offs, ci, w):
     outs = []
     for sl in range(tz):
         wrel = oc + sl
@@ -1382,7 +1388,8 @@ def _p3_jacobi_body(v, f_ref, p_ref, z0w, oc, tz, ws, shape2, *, offs, ci,
     return outs
 
 
-def _p3_residual_body(v, f_ref, p_ref, z0w, oc, tz, ws, shape2, *, offs):
+def _p3_residual_body(v, f_ref, p_ref, z0w, oc, tz, ws, shape2, *, cv,
+                      offs):
     outs = []
     for sl in range(tz):
         wrel = oc + sl
@@ -1391,7 +1398,8 @@ def _p3_residual_body(v, f_ref, p_ref, z0w, oc, tz, ws, shape2, *, offs):
     return outs
 
 
-def _call_planes3(body, v, f, planes, interpret, z_base=None, **kw):
+def _call_planes3(body, v, f, planes, interpret, z_base=None,
+                  color_val=0, **kw):
     Mz, My, Mx = v.shape
     K = planes.shape[0]
     tz = _pick_tz_planes3(Mz, My, Mx, K)
@@ -1400,12 +1408,14 @@ def _call_planes3(body, v, f, planes, interpret, z_base=None, **kw):
     kernel = functools.partial(
         _planes3_kernel(body), Mz=Mz, My=My, Mx=Mx, tz=tz, **kw
     )
-    zb = jnp.full((1, 1), 0 if z_base is None else z_base, jnp.int32)
+    zb = jnp.asarray(
+        [[0 if z_base is None else z_base, 0]], jnp.int32
+    ).at[0, 1].set(color_val)
     return pl.pallas_call(
         kernel,
         grid=(Mz // tz,),
         in_specs=[
-            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((tz, My, Mx), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -1428,25 +1438,28 @@ def _call_planes3(body, v, f, planes, interpret, z_base=None, **kw):
 
 def planes3_colors(offsets) -> tuple:
     """The color schedule of ops.smoothers.multicolor_gs_smooth for a 3D
-    radius-1 operator: sum-parity red-black when axis-only, else the 2^3
-    coordinate-parity classes (itertools.product order)."""
+    radius-1 operator: ('sum', (0, 1)) sum-parity red-black when
+    axis-only, else ('coord', range(8)) — the 2^3 coordinate-parity
+    classes in itertools.product order, packed as pz*4 + py*2 + px."""
     axis_only = all(
         sum(1 for d in off if d != 0) <= 1 for off in map(tuple, offsets))
     if axis_only:
-        return (("sum", 0), ("sum", 1))
-    return tuple(("coord", (pz, py, px))
-                 for pz in (0, 1) for py in (0, 1) for px in (0, 1))
+        return ("sum", (0, 1))
+    return ("coord", tuple(range(8)))
 
 
 def planes3_gs_sweep(v, f, planes, offsets, interpret=False, z_base=None):
     """One full multicolor GS sweep on a 3D radius-1 planes operator, one
-    kernel pass per color; None if the shape doesn't admit the kernel."""
+    kernel pass per color (all passes share one compiled kernel — the
+    color is a runtime SMEM scalar); None if the shape doesn't admit the
+    kernel."""
     offs = tuple(map(tuple, offsets))
     ci = offs.index((0, 0, 0))
-    for color in planes3_colors(offs):
+    kind, colors = planes3_colors(offs)
+    for cv in colors:
         out = _call_planes3(
             _p3_gs_body, v, f, planes, interpret, z_base=z_base,
-            offs=offs, ci=ci, color=color,
+            color_val=cv, offs=offs, ci=ci, kind=kind,
         )
         if out is None:
             return None
