@@ -290,14 +290,20 @@ def assemble_level(grid: GridLevel, problem: ProblemSpec) -> AssembledLevel:
             zero_off = (0,) * ndim
 
             def _prune(planes):
-                scale = max(np.abs(planes).max(), 1e-300)
+                # one abs+max pass per plane (reused for keep AND scale),
+                # in-place denoise on the kept planes only — the previous
+                # whole-array abs temporaries dominated assembly time at
+                # 128^3+ (~30 s of the 50 s build)
+                amax = np.array([np.abs(p).max() for p in planes])
+                scale = max(float(amax.max()), 1e-300)
                 tol = 1e-13 * scale
                 keep = [
                     k for k, off in enumerate(full_offsets)
-                    if off == zero_off or np.abs(planes[k]).max() > tol
+                    if off == zero_off or amax[k] > tol
                 ]
                 kept = planes[keep]
-                kept[np.abs(kept) <= tol] = 0.0
+                for p in kept:
+                    np.copyto(p, 0.0, where=np.abs(p) <= tol)
                 return tuple(full_offsets[k] for k in keep), kept
 
             A_offsets, A_raw_planes = _prune(planes_full)

@@ -74,8 +74,13 @@ def csr_to_stencil(
         itertools.product(range(-radius, radius + 1), repeat=ndim)
     )
     planes = np.zeros((len(offsets),) + shape)
-    key = {off: k for k, off in enumerate(offsets)}
-    ks = np.array([key[tuple(d)] for d in delta.T], dtype=np.int64)
+    # sorted(product(...)) is lexicographic, so the plane index is the
+    # mixed-radix digit expansion of (delta + radius) — vectorized (the
+    # per-nnz Python dict lookup this replaces cost ~11 s at 128^3)
+    base = 2 * radius + 1
+    ks = np.zeros(delta.shape[1], dtype=np.int64)
+    for a in range(ndim):
+        ks = ks * base + (delta[a] + radius)
     np.add.at(planes, (ks,) + tuple(row_coords), coo.data)
     #
 

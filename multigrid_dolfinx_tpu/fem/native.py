@@ -87,7 +87,9 @@ def native_assemble_p1(
     m = n + 1
     K = 3 ** ndim
     planes = np.zeros((K,) + (m,) * ndim, dtype=np.float64)
-    massp = np.zeros_like(planes)
+    # np.zeros -> calloc (lazy zero pages); zeros_like memsets eagerly,
+    # which at 128^3+ costs seconds per level
+    massp = np.zeros((K,) + (m,) * ndim, dtype=np.float64)
     b = np.zeros((m,) * ndim, dtype=np.float64)
     kp = None
     if kappa_cells is not None:
