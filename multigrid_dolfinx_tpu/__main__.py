@@ -66,6 +66,32 @@ def _build_config(args):
     )
 
 
+def _direct_reference_error(cfg, hier):
+    """Error of the direct-LU finest-grid solution vs the manufactured
+    solution — the reference's validation solve + the `['Dolf', err]` row
+    it appends to the error CSV (Multigrid_prototype.py:120-133, 152-156).
+    SuperLU on the assembled CSR, FEM-L2 error via the same quadrature the
+    MG solve reports."""
+    from scipy.sparse.linalg import spsolve
+
+    from .fem import assembly as fa
+    from .mesh import build_grid_hierarchy
+    from .solver.fmg import error_norm
+    from .solver.vcycle import pad_to
+
+    import jax.numpy as jnp
+
+    grids = build_grid_hierarchy(cfg.hierarchy, ndim=cfg.problem.ndim)
+    asm = fa.assemble_level(grids[-1], cfg.problem)
+    A = fa.stencil_to_csr(asm.offsets, asm.A_planes)
+    u = spsolve(A.tocsr(), asm.b.reshape(-1))
+    ug = pad_to(
+        jnp.asarray(u.reshape(asm.b.shape), hier.finest.b.dtype),
+        hier.finest.shape,
+    )
+    return float(error_norm(hier, ug))
+
+
 def cmd_solve(args) -> int:
     if args.platform:
         import jax
@@ -136,6 +162,14 @@ def cmd_solve(args) -> int:
         result = solve_mgcg(hier, cfg.cycle)
         cycles = int(result.num_iters)
         err_hist = None
+    elif args.resume:
+        from .solver.fmg import resume_solve
+        from .utils.checkpoint import load_checkpoint
+
+        u0, _, _, prev_cycles, _ = load_checkpoint(args.resume, cfg)
+        result = resume_solve(hier, cfg.cycle, u0)
+        cycles = int(result.num_cycles)
+        err_hist = np.asarray(result.err_hist)
     else:
         result = solve(hier, cfg.cycle, mode="fixed" if args.fixed else "tol")
         cycles = int(result.num_cycles)
@@ -167,7 +201,15 @@ def cmd_solve(args) -> int:
         L = cfg.hierarchy.num_levels
         csv_io.write_residual_csv(res_hist, n, L, args.csv_dir)
         if err_hist is not None:
-            csv_io.write_error_csv(err_hist, n, L, args.csv_dir)
+            ref_err = None
+            do_ref = args.reference_solve or args.reference_parity
+            if do_ref and not args.lean and ndofs <= 2_000_000:
+                ref_err = _direct_reference_error(cfg, hier)
+            elif do_ref:
+                print("skipping direct reference solve "
+                      "(lean hierarchy or > 2M DOFs)", file=sys.stderr)
+            csv_io.write_error_csv(err_hist, n, L, args.csv_dir,
+                                   reference_error=ref_err)
         csv_io.append_iter_count_csv(n, L, k, args.csv_dir)
 
     if args.checkpoint:
@@ -235,6 +277,15 @@ def main(argv=None) -> int:
     ps.add_argument("--csv-dir", default=".")
     ps.add_argument("--checkpoint", default=None,
                     help="save solver state to this .npz")
+    ps.add_argument("--resume", default=None,
+                    help="resume V-cycling from a checkpoint .npz "
+                         "(fingerprint-checked against the config)")
+    ps.add_argument("--reference-solve", action="store_true",
+                    help="also run the direct-LU validation solve and "
+                         "append its error as the ['Dolf', err] row of "
+                         "the error CSV (reference "
+                         "Multigrid_prototype.py:120-133,152-156); "
+                         "implied by --reference-parity")
     ps.set_defaults(rhs_const=None)
     args = parser.parse_args(argv)
 

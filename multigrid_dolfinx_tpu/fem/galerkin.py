@@ -82,7 +82,6 @@ def csr_to_stencil(
     for a in range(ndim):
         ks = ks * base + (delta[a] + radius)
     np.add.at(planes, (ks,) + tuple(row_coords), coo.data)
-    #
 
     nz = [k for k, off in enumerate(offsets)
           if off == (0,) * ndim or np.any(planes[k] != 0.0)]

@@ -1487,3 +1487,14 @@ def planes3_residual(v, f, planes, offsets, interpret=False, z_base=None):
         _p3_residual_body, v, f, planes, interpret, z_base=z_base,
         offs=offs,
     )
+
+
+def planes3_admits(shape: Tuple[int, int, int], K: int) -> bool:
+    """Public admission gate for the 3D planes kernels: True iff the
+    (padded) grid shape and plane count fit the kernels' VMEM/divisibility
+    constraints.  The smoother pre-check (ops.smoothers._pallas_planes)
+    and the kernel wrappers (_call_planes3) both route through the same
+    _pick_tz_planes3, so the two can never drift and reject different
+    shapes (a drift would surface as planes3_gs_sweep returning None
+    mid-fori_loop — an opaque trace-time failure)."""
+    return _pick_tz_planes3(*shape, K) != 0

@@ -155,29 +155,36 @@ def chebyshev_smooth(
     v: jax.Array,
     f: jax.Array,
     nrounds: int,
+    residual_fn=None,
 ) -> jax.Array:
     """Chebyshev polynomial smoothing on the Dinv-preconditioned operator,
     targeting [lmax/eig_ratio, lmax] (the standard parallel-MG smoother:
     matvec-only, no sequential dependencies — cf. BASELINE.json config 3).
 
     One 'round' = one degree-`sm.cheby_degree` Chebyshev polynomial
-    application (so a round costs `degree` matvecs)."""
-    lmax = sm.lmax * 1.05           # safety margin on the power-iter estimate
+    application (so a round costs `degree` matvecs).  `residual_fn(v, f)`
+    overrides the r = f - A v computation (the Pallas path substitutes the
+    fused residual kernel — Chebyshev is matvec-only, so that single
+    substitution puts the whole smoother at kernel speed)."""
+    lmax = sm.lmax * 1.05           # safety margin on the lmax estimate
     lmin = lmax / sm.cheby_eig_ratio
     theta = 0.5 * (lmax + lmin)
     delta = 0.5 * (lmax - lmin)
     sigma = theta / delta
 
     dinv = sm.dinv_for(A)
+    if residual_fn is None:
+        def residual_fn(v, f):
+            return f - A.apply(v)
 
     def one_round(_, v):
-        r = f - A.apply(v)
+        r = residual_fn(v, f)
         z = dinv * r
         p = z / theta
         v = v + p
         rho_prev = 1.0 / sigma
         for _k in range(1, sm.cheby_degree):
-            r = f - A.apply(v)
+            r = residual_fn(v, f)
             z = dinv * r
             rho = 1.0 / (2.0 * sigma - rho_prev)
             p = rho * rho_prev * p + (2.0 * rho / delta) * z
@@ -286,7 +293,7 @@ def _pallas_planes(sm, A, v, f, nsweeps, kind):
     else:
         from .pallas import stencil3d
 
-        if stencil3d._pick_tz_planes3(*v.shape, A.planes.shape[0]) == 0:
+        if not stencil3d.planes3_admits(v.shape, A.planes.shape[0]):
             return None                  # shape doesn't admit the kernel
 
         def sweep(_, v):
@@ -322,6 +329,25 @@ def smooth(
                 return _pallas_jacobi(sm, A, v, f, nsweeps)
             if kind == "rbgs":
                 return _pallas_rbgs(sm, A, v, f, nsweeps)
+            if kind == "chebyshev":
+                interp = dispatch.interpret_mode()
+                lm = A.logical_m
+                if v.ndim == 2:
+                    from .pallas import stencil2d
+
+                    def res_fn(vv, ff):
+                        return stencil2d.residual(vv, ff, lm,
+                                                  interpret=interp)
+                else:
+                    from .pallas import stencil3d
+
+                    wc, woff = dispatch.const7_weights(A)
+
+                    def res_fn(vv, ff):
+                        return stencil3d.residual(vv, ff, lm, wc, woff,
+                                                  interpret=interp)
+                return chebyshev_smooth(sm, A, v, f, nsweeps,
+                                        residual_fn=res_fn)
         elif (kind in ("jacobi", "rbgs")
               and dispatch.pallas_planes_eligible(A, v.shape, v.dtype)):
             out = _pallas_planes(sm, A, v, f, nsweeps, kind)

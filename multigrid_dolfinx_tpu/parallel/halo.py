@@ -60,7 +60,11 @@ def _shift(x, axis_name: str, forward: bool):
 
 def halo_pad2d(u: jax.Array, ax: Tuple[str, str]) -> jax.Array:
     """Local (mb, nb) block -> (mb+2, nb+2) with 1-deep halos from the 4
-    mesh neighbors (corners stay zero: 5-point stencils never read them)."""
+    mesh neighbors.  The second (gy) shift sends columns of the already
+    gx-extended block, so corner values relay through the edge neighbors
+    in two hops — the standard two-phase exchange that makes diagonal
+    (9-point, e.g. consistent-mass) stencils correct without explicit
+    corner messages."""
     gx, gy = ax
     top = _shift(u[-1:, :], gx, forward=True)     # row from gx-1 neighbor
     bot = _shift(u[:1, :], gx, forward=False)     # row from gx+1 neighbor
@@ -139,6 +143,31 @@ def restrict_pt_local(r, f_offsets, lmf, lmc, ax):
     return jnp.where(interior_c, coarse, jnp.zeros_like(coarse))
 
 
+def mass_quad_local2(r, off, lm, tables, offsets, ax):
+    """Local partial of r^T M r with the boundary-class-table consistent
+    mass operator (zero stored bytes; classes from global coords) — the
+    FEM-L2 residual norm the reference's res_calculator computes via
+    dolfinx assemble_scalar (multigrid.py:203-208).  psum over both mesh
+    axes completes the norm; the 9-point mass stencil's corner reads are
+    served by halo_pad2d's two-phase corner relay."""
+    gi, gj = _global_coords(r.shape, off)
+
+    def cls_ax(g):
+        return jnp.where(g == 0, 0, jnp.where(g == lm - 1, 2, 1))
+
+    cls = cls_ax(gi) * 3 + cls_ax(gj)
+    inbox = (gi <= lm - 1) & (gj <= lm - 1)
+    up = halo_pad2d(r, ax)
+    acc = None
+    for k, (di, dj) in enumerate(offsets):
+        w = tables[k].reshape(-1)[cls]
+        sl = up[1 + di:1 + di + r.shape[0], 1 + dj:1 + dj + r.shape[1]]
+        term = w * sl
+        acc = term if acc is None else acc + term
+    mr = jnp.where(inbox, acc, jnp.zeros_like(r))
+    return jnp.sum(r * mr)
+
+
 def prolong_local(c, c_offsets, lmf, ax):
     """Shard-local bilinear prolongation: coarse (mb, nb) -> fine
     (2mb, 2nb).  Fine node 2i (+1) draws on coarse i (and i+1): one coarse
@@ -200,7 +229,10 @@ def build_halo_solver(config: SolverConfig, mesh: Mesh):
         for lv in hier.levels
     ]
 
-    def local_solve(levels_b, coarse_factor):
+    m_op = hier.M_fine
+    m_offsets = m_op.offsets
+
+    def local_solve(levels_b, coarse_factor, m_tables):
         # levels_b: list of local RHS blocks, coarsest..finest
         def off(level_idx, shape):
             ix = jax.lax.axis_index(ax[0]) * shape[0]
@@ -251,10 +283,16 @@ def build_halo_solver(config: SolverConfig, mesh: Mesh):
             return smooth(li, v, f, spec.nu2)
 
         def norm_l2(r):
-            s = jnp.sum(r * r)
+            # FEM-L2 (mass-weighted) norm — same class-table machinery as
+            # the single-device lean solver, so absolute-`tol` configs stop
+            # at identical cycle counts (previously this was the vector
+            # 2-norm, which silently disagreed with solver.fmg under
+            # absolute tolerances).
+            o = off(L, r.shape)
+            s = mass_quad_local2(r, o, lms[L], m_tables, m_offsets, ax)
             s = jax.lax.psum(s, ax[0])
             s = jax.lax.psum(s, ax[1])
-            return jnp.sqrt(s)
+            return jnp.sqrt(jnp.maximum(s, 0.0))
 
         # FMG start
         L = len(levels_b) - 1
@@ -298,7 +336,7 @@ def build_halo_solver(config: SolverConfig, mesh: Mesh):
         fn = shard_map(
             local_solve,
             mesh=mesh,
-            in_specs=(bspecs, P()),
+            in_specs=(bspecs, P(), P()),
             out_specs=(P(ax[0], ax[1]), P(), P()),
             check_vma=False,
         )
@@ -306,13 +344,15 @@ def build_halo_solver(config: SolverConfig, mesh: Mesh):
         fn = shard_map(
             local_solve,
             mesh=mesh,
-            in_specs=(bspecs, P()),
+            in_specs=(bspecs, P(), P()),
             out_specs=(P(ax[0], ax[1]), P(), P()),
             check_rep=False,
         )
 
+    tables = jnp.asarray(m_op.class_tables)
+
     def solve_fn(h: Hierarchy):
         bs = [lv.b for lv in h.levels]
-        return fn(bs, h.coarse.factor)
+        return fn(bs, h.coarse.factor, tables)
 
     return hier, jax.jit(solve_fn)

@@ -265,27 +265,59 @@ def mass_quad_local3(r, z_off, lm, tables, offsets, ext):
 
 
 def pick_z_shard_plan(config: SolverConfig, mesh: Mesh,
-                      min_slab: int = 2) -> Tuple[list, int]:
+                      min_slab: int = 2, align: bool = False
+                      ) -> Tuple[list, int]:
     """(pad plan, shard_from): levels with >= 2*ngz points per dim are
     z-padded to a mesh-divisible, 2x-progressive size (transfers stay
     shard-local); coarser levels stay replicated at logical shape.
     Returns the plan for build_lean_hierarchy plus the first sharded
-    level index."""
+    level index.
+
+    align=True is the Pallas-kernel layout: local z slabs are multiples
+    of 4 (the rolling kernels' largest block size) and (y, x) land on
+    (8, 128) tile boundaries.  The z rounding quantum 4*ngz compounds up
+    the 2x-progressive hierarchy, so shard_from is chosen to minimize the
+    FINEST level's padded z (rounding a small level and doubling it up
+    can cost 1.5x fine-array memory); near-ties break toward sharding
+    more levels (deeper parallel coverage for the same storage)."""
     grids = build_grid_hierarchy(config.hierarchy, ndim=3)
     ngz = int(np.prod(mesh.devices.shape))
     lms = [g.points_per_dim for g in grids]
-    shard_from = None
+    L = len(lms) - 1
     # level 0 must stay replicated: the coarsest direct solve needs the
     # full grid on every rank (redundant solve beats communication there).
-    for i, m in enumerate(lms):
-        if i >= 1 and m >= min_slab * ngz:
-            shard_from = i
-            break
-    if shard_from is None:
+    valid = [i for i in range(1, len(lms)) if lms[i] >= min_slab * ngz]
+    if not valid:
         raise ValueError(
             f"no level large enough to z-shard over {ngz} devices "
             f"(finest has {lms[-1]} points/dim)"
         )
+    if align:
+        q = 4 * ngz
+
+        def zfin(si):
+            return ((lms[si] + q - 1) // q) * q * (2 ** (L - si))
+
+        zmin = min(zfin(si) for si in valid)
+        shard_from = min(
+            si for si in valid if zfin(si) - zmin <= max(zmin // 16, q))
+        z0 = ((lms[shard_from] + q - 1) // q) * q
+
+        def _r(x, m):
+            return ((x + m - 1) // m) * m
+
+        plan = []
+        for i, m in enumerate(lms):
+            if i < shard_from:
+                # replicated levels get the single-device lean layout so
+                # the plain single-device kernels run on them (redundant
+                # per-rank coarse compute at kernel speed)
+                plan.append((_r(m, 8), _r(m, 8), _r(m, 128)))
+            else:
+                z = z0 * (2 ** (i - shard_from))
+                plan.append((z, _r(m, 8), _r(m, 128)))
+        return plan, shard_from
+    shard_from = valid[0]
     z0 = ((lms[shard_from] + ngz - 1) // ngz) * ngz
     plan = []
     for i, m in enumerate(lms):
@@ -301,7 +333,24 @@ def build_halo_solver3d(config: SolverConfig, mesh: Mesh):
     """Returns (hierarchy, solve_fn): the fully explicit distributed 3D
     V-cycle solve (FMG start + tolerance loop) under one shard_map.
     solve_fn(hier) -> (u_global, num_cycles, converged); u_global is
-    z-sharded with the fine level's padded shape.
+    z-sharded with the fine level's padded shape."""
+    hier, solve_fn, _ = _build_halo3d(config, mesh)
+    return hier, solve_fn
+
+
+def build_halo_cycler3d(config: SolverConfig, mesh: Mesh, cycles: int):
+    """Returns (hierarchy, cycle_fn): cycle_fn(hier, v0) runs `cycles`
+    finest-level V-cycles of the distributed solver (no norms, no FMG) —
+    the benchmarking entry matching bench.py's k_cycles loop, so the
+    distributed per-V-cycle time is directly comparable to the
+    single-chip number."""
+    hier, _, cycle_fn = _build_halo3d(config, mesh, bench_cycles=cycles)
+    return hier, cycle_fn
+
+
+def _build_halo3d(config: SolverConfig, mesh: Mesh,
+                  bench_cycles: int | None = None):
+    """Shared builder for the distributed 3D z-decomposed cycle.
 
     Requirements: 3D constant-coefficient P1 (lean hierarchy, isotropic
     7-point), 1D device mesh.  Cycle counts match the single-device
@@ -312,14 +361,21 @@ def build_halo_solver3d(config: SolverConfig, mesh: Mesh):
     if len(mesh.devices.shape) != 1:
         raise ValueError("3D halo path wants a 1D ('gz',) mesh")
     spec = config.cycle
-    if spec.smoother not in ("rbgs", "jacobi"):
-        raise NotImplementedError("3D halo path: rbgs/jacobi smoothing")
+    if spec.smoother not in ("rbgs", "jacobi", "chebyshev"):
+        raise NotImplementedError(
+            "3D halo path: rbgs/jacobi/chebyshev smoothing")
     if spec.restriction != "pt" or spec.prolongation != "bilinear":
         raise NotImplementedError("3D halo path: pt/bilinear transfers")
     if spec.coarse_solver not in ("cholesky", "inverse"):
         raise NotImplementedError("3D halo path: cholesky/inverse coarse")
 
-    plan, s = pick_z_shard_plan(config, mesh)
+    # use_pallas + f32: sharded levels run the fused halo-aware Pallas
+    # kernels (ops/pallas/stencil3d_dist) — per-shard throughput matches
+    # the single-chip kernels.  Otherwise (f64 parity runs) jnp local ops.
+    use_kernels = bool(spec.use_pallas) and (
+        jnp.dtype(config.dtype) == jnp.float32)
+    interp = dispatch.interpret_mode()
+    plan, s = pick_z_shard_plan(config, mesh, align=use_kernels)
     hier = build_lean_hierarchy(config, pad_points=plan)
     ax = mesh.axis_names[0]
     ngz = int(np.prod(mesh.devices.shape))
@@ -331,14 +387,20 @@ def build_halo_solver3d(config: SolverConfig, mesh: Mesh):
     ]
     if any(w is None for w in weights):
         raise NotImplementedError("3D halo path: isotropic 7-point only")
+    # Chebyshev spectral windows: exact Dirichlet-Laplacian lmax per level
+    # (solver.hierarchy.const_lmax_dirichlet), matching what the lean
+    # hierarchy's SmootherData now carries on the single-device path.
+    lmaxs = [float(lv.sm.lmax) for lv in hier.levels]
+    cheby_ratio = 4.0
     m_op = hier.M_fine
     m_offsets = m_op.offsets
-    mz_per = [None if plan[i] is None else plan[i][0] // ngz
+    mz_per = [None if i < s else plan[i][0] // ngz
               for i in range(len(plan))]
 
-    def local_solve(bs, coarse_factor, m_tables):
-        # bs: coarsest..finest local RHS blocks (replicated levels get the
-        # full logical grid, sharded levels a (mz, m, m) z-slab).
+    def make_local_ops(coarse_factor, m_tables):
+        # builds the per-shard op suite (smooth/residual/vcycle/norm) the
+        # solve and bench entries share; everything closes over the static
+        # plan, not over the RHS blocks.
         def zoff(li):
             if li < s:
                 return 0
@@ -347,24 +409,100 @@ def build_halo_solver3d(config: SolverConfig, mesh: Mesh):
         def ext_for(li):
             return (lambda u: _ext3(u, ax)) if li >= s else _ext3_repl
 
+        def khalos(u, depth):
+            """(lo, hi) z-slab halos from the mesh neighbors (zeros at the
+            domain edges) — the separate-input form the dist kernels eat."""
+            lo = _shift_slabs(u[-depth:], ax, forward=True)
+            hi = _shift_slabs(u[:depth], ax, forward=False)
+            return lo, hi
+
         def coarse_solve(f_full):
-            fl = f_full.reshape(-1)
+            # storage may be tile-padded (aligned kernel plan): the dense
+            # factor covers the logical lm0^3 grid; padding stays zero.
+            m0 = lms[0]
+            fl = f_full[:m0, :m0, :m0].reshape(-1)
             if spec.coarse_solver == "inverse":
                 u = coarse_factor @ fl
             else:
                 u = jax.scipy.linalg.cho_solve((coarse_factor, True), fl)
-            return u.reshape(f_full.shape)
+            if f_full.shape == (m0, m0, m0):
+                return u.reshape((m0, m0, m0))
+            return jnp.zeros_like(f_full).at[:m0, :m0, :m0].set(
+                u.reshape((m0, m0, m0)))
 
         def smooth(li, v, f, n):
             zo = zoff(li)
             wc, woff = weights[li]
-            ext = ext_for(li)
+            if spec.smoother == "chebyshev":
+                # same polynomial recurrence as ops.smoothers.
+                # chebyshev_smooth (matvec-only) with the local residual
+                # (kernel or jnp) supplying r = f - A v; dinv matches the
+                # lean operator's synthesized diagonal (1/wc interior,
+                # 1 on bc/padding rows).
+                # dtype-faithful to chebyshev_smooth: the window constants
+                # are computed in the array dtype (f32 runs round the same
+                # way as the single-device smoother -> identical iterates)
+                lmax = jnp.asarray(lmaxs[li], v.dtype) * 1.05
+                lmin = lmax / cheby_ratio
+                theta = 0.5 * (lmax + lmin)
+                delta = 0.5 * (lmax - lmin)
+                sigma = theta / delta
+                interior, _ = _masks3(v.shape, zo, lms[li])
+                dinv = jnp.where(interior, 1.0 / wc,
+                                 jnp.ones((), v.dtype))
 
-            def body(_, vv):
-                if spec.smoother == "jacobi":
-                    return jacobi_sweep_local3(
-                        vv, f, zo, lms[li], wc, woff, spec.omega, ext)
-                return rbgs_sweep_local3(vv, f, zo, lms[li], wc, woff, ext)
+                def one_round(_, vv):
+                    z = dinv * residual(li, vv, f)
+                    p = z / theta
+                    vv = vv + p
+                    rho_prev = 1.0 / sigma
+                    for _k in range(1, spec.cheby_degree):
+                        z = dinv * residual(li, vv, f)
+                        rho = 1.0 / (2.0 * sigma - rho_prev)
+                        p = rho * rho_prev * p + (2.0 * rho / delta) * z
+                        vv = vv + p
+                        rho_prev = rho
+                    return vv
+
+                if n <= 2:
+                    for k in range(n):
+                        v = one_round(k, v)
+                    return v
+                return jax.lax.fori_loop(0, n, one_round, v)
+            if use_kernels and li >= s:
+                from ..ops.pallas import stencil3d_dist as sd3
+
+                dep = 2 if spec.smoother == "rbgs" else 1
+                flo, fhi = khalos(f, dep)     # f constant across sweeps
+
+                def body(_, vv):
+                    vlo, vhi = khalos(vv, dep)
+                    if spec.smoother == "jacobi":
+                        return sd3.jacobi_sweep_dist(
+                            vv, f, vlo, vhi, flo, fhi, lms[li], wc, woff,
+                            spec.omega, zo, interpret=interp)
+                    return sd3.rb_sweep_fused_dist(
+                        vv, f, vlo, vhi, flo, fhi, lms[li], wc, woff, zo,
+                        interpret=interp)
+            elif use_kernels:
+                # replicated level: plain single-device fused kernels,
+                # redundantly on every rank (aligned storage by plan)
+                def body(_, vv):
+                    if spec.smoother == "jacobi":
+                        return stencil3d.jacobi_sweep(
+                            vv, f, lms[li], wc, woff, spec.omega,
+                            interpret=interp)
+                    return stencil3d.rb_sweep_fused(
+                        vv, f, lms[li], wc, woff, interpret=interp)
+            else:
+                ext = ext_for(li)
+
+                def body(_, vv):
+                    if spec.smoother == "jacobi":
+                        return jacobi_sweep_local3(
+                            vv, f, zo, lms[li], wc, woff, spec.omega, ext)
+                    return rbgs_sweep_local3(vv, f, zo, lms[li], wc, woff,
+                                             ext)
 
             if n <= 2:
                 for k in range(n):
@@ -374,6 +512,17 @@ def build_halo_solver3d(config: SolverConfig, mesh: Mesh):
 
         def residual(li, v, f):
             wc, woff = weights[li]
+            if use_kernels and li >= s:
+                from ..ops.pallas import stencil3d_dist as sd3
+
+                vlo, vhi = khalos(v, 1)
+                flo, fhi = khalos(f, 1)
+                return sd3.residual_dist(
+                    v, f, vlo, vhi, flo, fhi, lms[li], wc, woff,
+                    zoff(li), interpret=interp)
+            if use_kernels:
+                return stencil3d.residual(v, f, lms[li], wc, woff,
+                                          interpret=interp)
             return f - apply_const7_local(
                 v, zoff(li), lms[li], wc, woff, ext_for(li))
 
@@ -394,25 +543,38 @@ def build_halo_solver3d(config: SolverConfig, mesh: Mesh):
 
         def scatter_slab(full_fine, li):
             """Full logical fine grid -> this rank's padded z-slab."""
-            Z = plan[li][0]
+            Z, Y, X = plan[li]
             m = lms[li]
-            fz = jnp.pad(full_fine, ((0, Z - m), (0, 0), (0, 0)))
+            fz = jnp.pad(full_fine, ((0, Z - m), (0, Y - m), (0, X - m)))
             i = jax.lax.axis_index(ax)
             zero = jnp.zeros((), i.dtype)
             return jax.lax.dynamic_slice(
                 fz, (i * mz_per[li], zero, zero),
-                (mz_per[li],) + full_fine.shape[1:],
+                (mz_per[li], Y, X),
             )
 
         def prolong_up(li, vc):
             """Coarse iterate at level li-1 -> fine level li (handles the
             replicated->sharded transition)."""
             if li - 1 >= s:
+                if use_kernels:
+                    from ..ops.pallas import stencil3d_dist as sd3
+
+                    chi = _shift_slabs(vc[:1], ax, forward=False)
+                    zeros = jnp.zeros(
+                        (mz_per[li], plan[li][1], plan[li][2]), vc.dtype)
+                    return sd3.prolong_linear_add_dist(
+                        vc, chi, zeros, lms[li], zoff(li), interpret=interp)
                 return prolong_local3(vc, zoff(li - 1), lms[li], ax)
             full = xfer.prolong_linear(vc[:lms[li - 1], :lms[li - 1],
                                           :lms[li - 1]])
             if li >= s:
                 return scatter_slab(full, li)
+            if use_kernels:
+                # replicated levels carry aligned (tile-padded) storage
+                Z, Y, X = plan[li]
+                m = lms[li]
+                return jnp.pad(full, ((0, Z - m), (0, Y - m), (0, X - m)))
             return full
 
         def vcycle(li, v, f, shape=None):
@@ -422,20 +584,74 @@ def build_halo_solver3d(config: SolverConfig, mesh: Mesh):
             if li == 0:
                 return coarse_solve(f)
             v = smooth(li, v, f, spec.nu1)
-            r = residual(li, v, f)
-            if li - 1 >= s:
-                fc = restrict_pt_local3(
-                    r, zoff(li), lms[li], lms[li - 1], ext_for(li))
+            if use_kernels and li >= s:
+                # fused (f - A v) -> P^T restriction in one kernel pass
+                from ..ops.pallas import stencil3d_dist as sd3
+
+                wc, woff = weights[li]
+                vlo, vhi = khalos(v, 2)
+                flo, fhi = khalos(f, 2)
+                zo = zoff(li)
+                lmc = lms[li - 1]
+                if li - 1 >= s:
+                    cshape = (mz_per[li] // 2, plan[li - 1][1],
+                              plan[li - 1][2])
+                else:
+                    def _r(x, m):
+                        return ((x + m - 1) // m) * m
+
+                    cshape = (mz_per[li] // 2, _r(lmc, 8), _r(lmc, 128))
+                fc = sd3.restrict_residual_pt_dist(
+                    v, f, vlo, vhi, flo, fhi, cshape, lms[li], lmc,
+                    wc, woff, zo, zo // 2, interpret=interp)
+                if li - 1 < s:
+                    # shard-local restriction first, THEN gather: the
+                    # all-gather at the sharded->replicated transition
+                    # moves the 8x-smaller coarse grid, not the fine
+                    # residual.  The replicated level's storage is the
+                    # aligned single-device layout; slabs past lmc are
+                    # zero (coarse mask), so slicing/zero-padding to it
+                    # is exact.
+                    fcg = jax.lax.all_gather(fc, ax, axis=0, tiled=True)
+                    Zc = plan[li - 1][0]
+                    if fcg.shape[0] >= Zc:
+                        fc = fcg[:Zc]
+                    else:
+                        fc = jnp.pad(
+                            fcg, ((0, Zc - fcg.shape[0]), (0, 0), (0, 0)))
+            elif use_kernels:
+                # replicated -> replicated: single-device fused kernel
+                wc, woff = weights[li]
+                fc = stencil3d.restrict_residual_pt(
+                    v, f, tuple(plan[li - 1]), lms[li], lms[li - 1],
+                    wc, woff, interpret=interp)
             else:
-                r_full = gather_full(r, li) if li >= s else r
-                fc = restrict_repl(r_full, lms[li], lms[li - 1])
+                r = residual(li, v, f)
+                if li - 1 >= s:
+                    fc = restrict_pt_local3(
+                        r, zoff(li), lms[li], lms[li - 1], ext_for(li))
+                else:
+                    r_full = gather_full(r, li) if li >= s else r
+                    fc = restrict_repl(r_full, lms[li], lms[li - 1])
             vc = vcycle(li - 1, jnp.zeros_like(fc), fc, shape)
             if li - 1 > 0:
                 if shape == "W":
                     vc = vcycle(li - 1, vc, fc, "W")
                 elif shape == "F":
                     vc = vcycle(li - 1, vc, fc, "V")
-            v = v + prolong_up(li, vc)
+            if use_kernels and li >= s and li - 1 >= s:
+                # trilinear prolongation fused with the correction add
+                from ..ops.pallas import stencil3d_dist as sd3
+
+                chi = _shift_slabs(vc[:1], ax, forward=False)
+                v = sd3.prolong_linear_add_dist(
+                    vc, chi, v, lms[li], zoff(li), interpret=interp)
+            elif use_kernels and li < s:
+                # replicated -> replicated: single-device fused kernel
+                v = stencil3d.prolong_linear_add(vc, v, lms[li],
+                                                 interpret=interp)
+            else:
+                v = v + prolong_up(li, vc)
             return smooth(li, v, f, spec.nu2)
 
         def res_norm(r):
@@ -444,6 +660,14 @@ def build_halo_solver3d(config: SolverConfig, mesh: Mesh):
             if s <= L:
                 part = jax.lax.psum(part, ax)
             return jnp.sqrt(jnp.maximum(part, 0.0))
+
+        return coarse_solve, prolong_up, vcycle, residual, res_norm
+
+    def local_solve(bs, coarse_factor, m_tables):
+        # bs: coarsest..finest local RHS blocks (replicated levels get the
+        # full logical grid, sharded levels a (mz, m, m) z-slab).
+        coarse_solve, prolong_up, vcycle, residual, res_norm = \
+            make_local_ops(coarse_factor, m_tables)
 
         # ---- FMG start (reference FullMultiGrid, multigrid.py:271-307) --
         v = coarse_solve(bs[0])
@@ -474,7 +698,15 @@ def build_halo_solver3d(config: SolverConfig, mesh: Mesh):
         )
         return v, k, done
 
-    bspecs = [P() if plan[i] is None else P(ax) for i in range(len(plan))]
+    def local_cycles(bs, coarse_factor, m_tables, v0):
+        # bench entry: `bench_cycles` chained finest-level V-cycles, no
+        # norms/FMG — matches bench.py's k_cycles loop shape.
+        _, _, vcycle, _, _ = make_local_ops(coarse_factor, m_tables)
+        f = bs[L]
+        return jax.lax.fori_loop(
+            0, bench_cycles, lambda i, vv: vcycle(L, vv, f), v0)
+
+    bspecs = [P(ax) if i >= s else P() for i in range(len(plan))]
     kwargs = dict(
         mesh=mesh,
         in_specs=(bspecs, P(), P()),
@@ -485,13 +717,50 @@ def build_halo_solver3d(config: SolverConfig, mesh: Mesh):
     except TypeError:  # pragma: no cover - older jax spelling
         fn = shard_map(local_solve, check_rep=False, **kwargs)
 
+    cycle_fn = None
+    if bench_cycles is not None:
+        ckwargs = dict(
+            mesh=mesh,
+            in_specs=(bspecs, P(), P(), P(ax)),
+            out_specs=P(ax),
+        )
+        try:
+            cfn = shard_map(local_cycles, check_vma=False, **ckwargs)
+        except TypeError:  # pragma: no cover
+            cfn = shard_map(local_cycles, check_rep=False, **ckwargs)
+        cinner = jax.jit(cfn)
+
+        def cycle_fn(h: Hierarchy, v0):
+            bs = [lv.b for lv in h.levels]
+            return cinner(bs, h.coarse.factor, jnp.asarray(
+                m_op.class_tables), v0)
+
     tables = jnp.asarray(m_op.class_tables)
+    inner = jax.jit(fn)
 
     def solve_fn(h: Hierarchy):
         bs = [lv.b for lv in h.levels]
-        return fn(bs, h.coarse.factor, tables)
+        factor = h.coarse.factor
+        if jax.process_count() > 1:
+            # multi-controller runtime (parallel.multihost): inputs must be
+            # GLOBAL arrays over the (possibly multi-host) mesh — each
+            # process contributes its addressable shards from the
+            # identically-built host hierarchy (SPMD; the reference's
+            # mpirun substrate analogue, Multigrid_prototype.py:66).
+            from jax.sharding import NamedSharding
 
-    return hier, jax.jit(solve_fn)
+            bs = [
+                jax.device_put(np.asarray(b), NamedSharding(mesh, sp))
+                for b, sp in zip(bs, bspecs)
+            ]
+            factor = jax.device_put(np.asarray(factor),
+                                    NamedSharding(mesh, P()))
+            tbl = jax.device_put(np.asarray(tables),
+                                 NamedSharding(mesh, P()))
+            return inner(bs, factor, tbl)
+        return inner(bs, factor, tables)
+
+    return hier, solve_fn, cycle_fn
 
 
 def make_distributed_jacobi_smoother(

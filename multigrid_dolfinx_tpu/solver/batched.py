@@ -43,14 +43,36 @@ def _jitted_batched(spec: CycleSpec):
     return jax.jit(jax.vmap(fn, in_axes=(None, 0)))
 
 
+@lru_cache(maxsize=32)
+def _jitted_batched_map(spec: CycleSpec):
+    # lax.map (not vmap): Pallas kernels don't vmap, but under lax.map
+    # each batch element runs the full fused-kernel solve sequentially —
+    # at 135M-DOF scale the kernels' ~3x per-cycle advantage over the jnp
+    # path far outweighs vmap's cross-batch op amortization (and a batch
+    # of large grids wouldn't fit HBM concurrently anyway).
+    def fn(hier, rhs_batch):
+        return jax.lax.map(lambda f: _solve_one(hier, spec, f), rhs_batch)
+
+    return jax.jit(fn)
+
+
 def solve_batched(hier: Hierarchy, spec: CycleSpec,
                   rhs_batch: jax.Array) -> SolveResult:
     """Solve A u_i = f_i for a batch of finest-level right-hand sides
     (leading axis of `rhs_batch`).  Returns a SolveResult with a leading
     batch axis on every field.
 
-    Note: Pallas kernels don't vmap — use spec.use_pallas=False here (the
-    const-stencil jnp path is used automatically)."""
+    With spec.use_pallas and a kernel-eligible finest level, the batch is
+    a `lax.map` over full-speed fused-kernel solves; otherwise a vmap of
+    the jnp-path solve (which DOES vmap, and wins for small grids where
+    per-op overhead dominates)."""
     if spec.use_pallas:
+        from ..ops import dispatch
+
+        lv = hier.finest
+        if (dispatch.pallas_eligible(lv.A, lv.shape, rhs_batch.dtype)
+                or dispatch.pallas_planes_eligible(lv.A, lv.shape,
+                                                   rhs_batch.dtype)):
+            return _jitted_batched_map(spec)(hier, rhs_batch)
         spec = dataclasses.replace(spec, use_pallas=False)
     return _jitted_batched(spec)(hier, rhs_batch)

@@ -11,6 +11,7 @@ one program.
 from __future__ import annotations
 
 import dataclasses
+import math
 from functools import partial
 from typing import Optional, Sequence, Tuple
 
@@ -116,6 +117,36 @@ class Hierarchy:
     @property
     def finest(self) -> Level:
         return self.levels[-1]
+
+
+def const_lmax_dirichlet(offsets, weights, n: int):
+    """EXACT largest eigenvalue of Dinv*A for an axis-only constant
+    stencil with Dirichlet identity rows on the (n+1)^d unit-box grid.
+
+    Sine modes sin(k_a pi x_a) diagonalize any per-axis-reflection-
+    symmetric axis-only stencil on the Dirichlet box: lambda(k) = wc +
+    sum_a 2 w_a cos(k_a pi / n).  With negative off-axis weights the max
+    over k in [1, n-1]^d sits at k_a = n-1, giving
+
+        lmax(Dinv A) = 1 + cos(pi/n) * sum_{k != center} |w_k| / wc.
+
+    Returns None when the stencil has diagonal couplings (not sine-
+    diagonalizable) — callers keep their generic bound.  Replaces the
+    lmax=2.0 pin lean hierarchies carried (a mistuned Chebyshev window:
+    at n=512 the true lmax is ~1.99998 but at coarse levels it is
+    ~1.8-1.9, and the 2.0 pin shifted the whole window)."""
+    offsets = tuple(map(tuple, offsets))
+    ndim = len(offsets[0])
+    center = offsets.index((0,) * ndim)
+    wc = float(weights[center])
+    off_sum = 0.0
+    for k, off in enumerate(offsets):
+        if k == center or float(weights[k]) == 0.0:
+            continue
+        if sum(1 for d in off if d != 0) > 1:
+            return None                        # diagonal coupling
+        off_sum += abs(float(weights[k]))
+    return 1.0 + math.cos(math.pi / n) * off_sum / wc
 
 
 def estimate_lmax_dinv_a(
@@ -349,6 +380,9 @@ def build_lean_hierarchy(
         lm = g.points_per_dim
         scale = (g.h / h0) ** (ndim - 2)
         w_level = tuple(w * scale for w in template.weights)
+        lmax = const_lmax_dirichlet(template.offsets, w_level, g.n)
+        if lmax is None:
+            lmax = 2.0
         A = StencilOperator(
             planes=None, offsets=template.offsets,
             const_weights=w_level, logical_m=lm,
@@ -362,7 +396,7 @@ def build_lean_hierarchy(
         sm = SmootherData(
             r_omega=r_omega,
             dinv=None,
-            lmax=jnp.asarray(2.0, dtype=dtype),
+            lmax=jnp.asarray(lmax, dtype=dtype),
             omega=config.cycle.omega,
             cheby_degree=config.cycle.cheby_degree,
             cheby_eig_ratio=4.0,

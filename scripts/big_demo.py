@@ -1,9 +1,12 @@
-"""Single-chip scale demo: V-cycle throughput at 768^3 / 1024^3.
+"""Single-chip scale demo: V-cycle throughput at 768^3 (default).
 
-1024^3 elements = 1.077e9 DOFs; one padded f32 fine array is 4.9 GB, so
-the V-cycle only fits in a v5e's ~16 GB HBM with the in-place rolling
-sweeps (MG_ALIAS=1: smoother output aliases its input, cutting fine-level
-liveness from 3 arrays to 2) and the lean hierarchy's store_g=False.
+1024^3 elements = 1.077e9 DOFs; one padded f32 fine array is 4.9 GB.
+MG_ALIAS=1 (in-place rolling sweeps, smoother output aliases its input)
+plus the lean hierarchy's store_g=False are necessary for 1024^3 to
+COMPILE within a v5e's ~16 GB HBM, but measured on real hardware the
+run still OOMs at execution (BENCHMARKS.md: out of reach by ~2x on a
+single chip — it needs the z-decomposed multi-chip path).  768^3 (454M
+DOFs) is the largest single-chip size that runs.
 
 Usage: python scripts/big_demo.py [N] [cycles]
 Prints one JSON line like bench.py.
@@ -13,8 +16,6 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import json
-import os
-import sys
 import time
 
 os.environ.setdefault("MG_ALIAS", "1")
@@ -39,7 +40,7 @@ def _factor_levels(n_elems):
     return base, level
 
 
-N = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 768
 K = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 DO_SOLVE = "--solve" in sys.argv
 

@@ -78,6 +78,68 @@ def test_cli_solve_json_and_csv(tmp_path):
     assert (tmp_path / "iter_count_for_diff_num_elems_2_levels.csv").exists()
 
 
+def _cpu_env():
+    import os
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    return env
+
+
+def test_cli_reference_solve_writes_dolf_row(tmp_path):
+    """--reference-solve appends the reference's ['Dolf', err] comparison
+    row (direct-LU error, Multigrid_prototype.py:152-156) to the error
+    CSV — the MG error should land at the same discretization floor."""
+    cmd = [
+        sys.executable, "-m", "multigrid_dolfinx_tpu", "solve",
+        "--finest-level", "2", "--coarsest-level", "1",
+        "--nu", "2", "--smoother", "rbgs", "--restriction", "pt",
+        "--tol", "1e-10", "--dtype", "float64", "--platform", "cpu",
+        "--csv", "--csv-dir", str(tmp_path), "--reference-solve",
+    ]
+    out = subprocess.run(cmd, capture_output=True, text=True,
+                         env=_cpu_env(),
+                         cwd=str(Path(__file__).parent.parent), timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    rows = (tmp_path / "error_for_32_2_levels.csv").read_text().strip()
+    lines = rows.splitlines()
+    assert lines[-1].startswith("Dolf,")
+    dolf_err = float(lines[-1].split(",")[1])
+    mg_err = float(lines[-2].split(",")[1])
+    # both at the discretization floor: MG error within 1% of direct-LU
+    assert abs(mg_err - dolf_err) <= 0.01 * dolf_err
+
+
+def test_cli_checkpoint_then_resume(tmp_path):
+    """--checkpoint then --resume: the resumed run picks up the saved
+    iterate (fingerprint-checked) and converges in fewer cycles."""
+    base = [
+        sys.executable, "-m", "multigrid_dolfinx_tpu", "solve",
+        "--finest-level", "2", "--coarsest-level", "1",
+        "--nu", "1", "--smoother", "rbgs", "--restriction", "pt",
+        "--dtype", "float64", "--platform", "cpu",
+    ]
+    ckpt = str(tmp_path / "state.npz")
+    out1 = subprocess.run(
+        base + ["--tol", "1e-4", "--checkpoint", ckpt],
+        capture_output=True, text=True, env=_cpu_env(),
+        cwd=str(Path(__file__).parent.parent), timeout=600)
+    assert out1.returncode == 0, out1.stderr[-2000:]
+    out2 = subprocess.run(
+        base + ["--tol", "1e-10", "--resume", ckpt],
+        capture_output=True, text=True, env=_cpu_env(),
+        cwd=str(Path(__file__).parent.parent), timeout=600)
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    k_resumed = json.loads(out2.stdout.strip().splitlines()[-1])["cycles"]
+    out3 = subprocess.run(
+        base + ["--tol", "1e-10"],
+        capture_output=True, text=True, env=_cpu_env(),
+        cwd=str(Path(__file__).parent.parent), timeout=600)
+    assert out3.returncode == 0, out3.stderr[-2000:]
+    k_scratch = json.loads(out3.stdout.strip().splitlines()[-1])["cycles"]
+    assert k_resumed < k_scratch
+
+
 def test_phase_timer():
     from multigrid_dolfinx_tpu.utils.profiling import PhaseTimer
 

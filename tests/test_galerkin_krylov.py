@@ -163,3 +163,29 @@ def test_solve_batched_multiple_rhs():
     np.testing.assert_allclose(
         np.asarray(res.u[0]), np.asarray(single.u), rtol=1e-9, atol=1e-11
     )
+
+
+def test_solve_batched_pallas_lax_map():
+    """use_pallas batches go through lax.map of full fused-kernel solves
+    (Pallas doesn't vmap; previously the flag was silently dropped and the
+    DP path ran only the slower jnp solve).  3D f32, interpret mode."""
+    import jax.numpy as jnp
+    from multigrid_dolfinx_tpu.solver.batched import solve_batched
+
+    cyc = CycleSpec(nu1=2, nu2=2, smoother="rbgs", restriction="pt",
+                    tol=0.0, rtol=1e-5, max_cycles=40, use_pallas=True,
+                    track_error=False)
+    cfg = models.poisson3d(finest_level=2, coarsest_level=1,
+                           coarsest_elements=4, dtype="float32", cycle=cyc)
+    from multigrid_dolfinx_tpu.solver.hierarchy import build_lean_hierarchy
+
+    hier = build_lean_hierarchy(cfg)
+    f = hier.finest.b
+    batch = jnp.stack([f, 0.5 * f])
+    res = solve_batched(hier, cyc, batch)
+    assert res.u.shape[0] == 2
+    assert bool(np.all(np.asarray(res.converged)))
+    single = solve(hier, cyc, mode="tol")
+    np.testing.assert_allclose(
+        np.asarray(res.u[0]), np.asarray(single.u), rtol=1e-5, atol=1e-6
+    )

@@ -45,6 +45,29 @@ def test_halo_solver_matches_single_device(smoother):
 
 
 @requires_8_devices
+def test_halo_solver_absolute_tol_matches_single_device():
+    """ABSOLUTE-tol configs stop on the FEM-L2 (mass-weighted) residual
+    norm, so the distributed cycle count equals the single-device solve's.
+    (Guards the round-2 defect where the 2D halo path checked the vector
+    2-norm: rtol configs masked it because both norms scale together, but
+    absolute tolerances stopped at different cycle counts.)"""
+    cyc = CycleSpec(nu1=2, nu2=2, smoother="rbgs", restriction="pt",
+                    tol=2e-7, rtol=0.0, max_cycles=40)
+    cfg = models.poisson2d(finest_level=4, coarsest_level=1,
+                           dtype="float64", cycle=cyc)
+    mesh = make_device_mesh(8)
+    hier, solve_fn = build_halo_solver(cfg, mesh)
+    u, k, done = solve_fn(hier)
+    assert bool(done)
+
+    plan = pick_shard_pad_plan(cfg, mesh)
+    h1 = build_lean_hierarchy(cfg, pad_points=plan)
+    r1 = solve(h1, cyc, mode="tol")
+    assert bool(r1.converged)
+    assert int(k) == int(r1.num_cycles)
+
+
+@requires_8_devices
 def test_halo_solution_hits_exact_values():
     """u* = 1 + x^2 + 2y^2 at the center: 1.75."""
     cyc = CycleSpec(nu1=2, nu2=2, smoother="rbgs", restriction="pt",

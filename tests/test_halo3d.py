@@ -70,15 +70,28 @@ def test_distributed_jacobi_matches_single_device():
 # ----------------------------------------------------------------------
 
 @requires_8_devices
-@pytest.mark.parametrize("smoother,dtype,utol,cycle", [
-    ("rbgs", "float32", 1e-5, "V"),
-    ("rbgs", "float64", 1e-12, "V"),
-    ("jacobi", "float64", 1e-12, "V"),
-    ("rbgs", "float64", 1e-12, "W"),
-    ("rbgs", "float64", 1e-12, "F"),
+@pytest.mark.isolate
+@pytest.mark.parametrize("smoother,dtype,utol,cycle,pallas,flevel", [
+    ("rbgs", "float32", 1e-5, "V", False, 3),
+    ("rbgs", "float64", 1e-12, "V", False, 3),
+    ("jacobi", "float64", 1e-12, "V", False, 3),
+    ("rbgs", "float64", 1e-12, "W", False, 3),
+    ("rbgs", "float64", 1e-12, "F", False, 3),
+    ("chebyshev", "float64", 1e-12, "V", False, 3),
+    # use_pallas=True: sharded levels run the fused halo-aware kernels
+    # (ops/pallas/stencil3d_dist) in interpret mode.  The 4-level case
+    # shards from level 2 under the aligned plan, so its intermediate
+    # replicated level exercises the single-device-kernel (redundant
+    # coarse compute) branches too.
+    ("rbgs", "float32", 1e-5, "V", True, 3),
+    ("rbgs", "float32", 1e-5, "V", True, 4),
+    ("jacobi", "float32", 1e-5, "V", True, 3),
+    ("rbgs", "float32", 1e-5, "W", True, 3),
+    ("chebyshev", "float32", 1e-5, "V", True, 3),
 ])
 def test_distributed_vcycle_solve_matches_single_device(smoother, dtype,
-                                                        utol, cycle):
+                                                        utol, cycle,
+                                                        pallas, flevel):
     """The full z-decomposed FMG+V/W/F-cycle solve (distributed smoothing,
     residual, pt restriction, trilinear prolongation, class-table FEM-L2
     norm psums, replicated coarse tail) reproduces the single-device lean
@@ -89,8 +102,9 @@ def test_distributed_vcycle_solve_matches_single_device(smoother, dtype,
     from multigrid_dolfinx_tpu.parallel.halo3d import build_halo_solver3d
 
     cyc = CycleSpec(nu1=2, nu2=2, smoother=smoother, restriction="pt",
-                    cycle=cycle, tol=0.0, rtol=1e-6, max_cycles=40)
-    cfg = models.poisson3d(finest_level=3, coarsest_level=1,
+                    cycle=cycle, tol=0.0, rtol=1e-6, max_cycles=40,
+                    use_pallas=pallas)
+    cfg = models.poisson3d(finest_level=flevel, coarsest_level=1,
                            coarsest_elements=4, dtype=dtype, cycle=cyc)
     r1 = solve(build_lean_hierarchy(cfg), cyc, mode="tol")
 
@@ -107,6 +121,7 @@ def test_distributed_vcycle_solve_matches_single_device(smoother, dtype,
 
 
 @requires_8_devices
+@pytest.mark.isolate
 def test_distributed_vcycle_solution_accuracy():
     """Distributed solve lands on the manufactured solution (center value
     of u* = 1 + x^2 + 2y^2 + 3z^2 at (0.5,0.5,0.5) is 2.5)."""
