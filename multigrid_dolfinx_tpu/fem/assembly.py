@@ -235,7 +235,8 @@ class AssembledLevel:
         return self.grid.shape
 
 
-def assemble_level(grid: GridLevel, problem: ProblemSpec) -> AssembledLevel:
+def assemble_level(grid: GridLevel, problem: ProblemSpec,
+                   need_mass: bool = True) -> AssembledLevel:
     """Assemble stiffness/mass/load for one level with Dirichlet handling
     matching dolfinx semantics exactly:
 
@@ -244,6 +245,12 @@ def assemble_level(grid: GridLevel, problem: ProblemSpec) -> AssembledLevel:
       * `apply_lifting`: b <- b - A_raw * g  (g = uD at bc nodes, 0 inside)
         (Multigrid_prototype.py:105).
       * `set_bc`: b <- uD at bc nodes (Multigrid_prototype.py:108).
+
+    need_mass=False skips pruning/returning the consistent-mass planes
+    (callers that use the boundary-class-table mass form instead — e.g.
+    P1 hierarchies without a reaction term — save K full-grid passes and
+    K planes of host memory per level; M_planes is then a single zero
+    center plane).
     """
     ndim, n, h = grid.ndim, grid.n, grid.h
     degree = problem.degree
@@ -289,7 +296,7 @@ def assemble_level(grid: GridLevel, problem: ProblemSpec) -> AssembledLevel:
             )
             zero_off = (0,) * ndim
 
-            def _prune(planes):
+            def _prune(planes, denoise=True):
                 # one abs+max pass per plane (reused for keep AND scale),
                 # in-place denoise on the kept planes only — the previous
                 # whole-array abs temporaries dominated assembly time at
@@ -302,12 +309,22 @@ def assemble_level(grid: GridLevel, problem: ProblemSpec) -> AssembledLevel:
                     if off == zero_off or amax[k] > tol
                 ]
                 kept = planes[keep]
-                for p in kept:
-                    np.copyto(p, 0.0, where=np.abs(p) <= tol)
+                if denoise:
+                    for p in kept:
+                        np.copyto(p, 0.0, where=np.abs(p) <= tol)
                 return tuple(full_offsets[k] for k in keep), kept
 
-            A_offsets, A_raw_planes = _prune(planes_full)
-            M_offsets, M_planes = _prune(massp_full)
+            # in-plane summation dust only matters when exact cancellation
+            # makes whole couplings vanish (const coefficients); a truly
+            # variable-coefficient operator never const-detects, so the
+            # two extra full passes per plane are skipped
+            A_offsets, A_raw_planes = _prune(
+                planes_full, denoise=kappa_cells is None)
+            if need_mass:
+                M_offsets, M_planes = _prune(massp_full)
+            else:
+                M_offsets = (zero_off,)
+                M_planes = np.zeros((1,) + planes_full.shape[1:])
             return _finish_level(
                 lat_grid, problem, A_offsets, A_raw_planes,
                 M_offsets, M_planes, b,
@@ -370,6 +387,91 @@ def assemble_level(grid: GridLevel, problem: ProblemSpec) -> AssembledLevel:
     )
 
 
+def _shell_slabs(shape, r: int):
+    """Disjoint slab decomposition of the boundary shell {p : some axis
+    has p_a <= r or p_a >= s_a-1-r}: axis a contributes its two edge
+    slabs restricted to the strict interior of all earlier axes, so every
+    shell point lies in exactly one slab.  Requires min(shape) > 2r+1."""
+    ndim = len(shape)
+    mid = [slice(r + 1, s - 1 - r) for s in shape]
+    slabs = []
+    for a in range(ndim):
+        for lo in (True, False):
+            sl = []
+            for b in range(ndim):
+                if b < a:
+                    sl.append(mid[b])
+                elif b == a:
+                    sl.append(slice(0, r + 1) if lo
+                              else slice(shape[b] - 1 - r, shape[b]))
+                else:
+                    sl.append(slice(0, shape[b]))
+            slabs.append(tuple(sl))
+    return slabs
+
+
+def apply_lifting_np(offsets, planes, g: np.ndarray,
+                     b: np.ndarray) -> np.ndarray:
+    """b <- b - A_raw g for boundary-supported g (dolfinx apply_lifting,
+    Multigrid_prototype.py:105).  The update's support lies within the
+    stencil radius of the boundary, so it runs on O(surface) shell slabs
+    instead of the K full-grid passes of a dense matvec — at 256^3 that
+    is the difference between ~20 s and milliseconds per level."""
+    shape = g.shape
+    r = max(max(abs(c) for c in off) for off in offsets)
+    if min(shape) <= 2 * r + 1:
+        return b - stencil_apply_np(offsets, planes, g)
+    gp = np.pad(g, r)
+    b = b.copy()
+    for sl in _shell_slabs(shape, r):
+        acc = None
+        for k, off in enumerate(offsets):
+            gsl = tuple(
+                slice(s.start + r + o, s.stop + r + o)
+                for s, o in zip(sl, off)
+            )
+            term = planes[k][sl] * gp[gsl]
+            acc = term if acc is None else acc + term
+        b[sl] -= acc
+    return b
+
+
+def eliminate_dirichlet_np(offsets, raw_planes: np.ndarray,
+                           interior: np.ndarray) -> np.ndarray:
+    """Symmetric Dirichlet elimination on stencil planes (zero bc rows and
+    columns, unit diagonal — dolfinx assemble_matrix(bcs=...) semantics,
+    Multigrid_prototype.py:92).  Elimination only changes entries within
+    the stencil radius of the boundary, so beyond the one unavoidable
+    copy it touches O(surface) shell slabs only."""
+    shape = interior.shape
+    ndim = len(shape)
+    zero_off = (0,) * ndim
+    offsets = tuple(map(tuple, offsets))
+    center = offsets.index(zero_off)
+    r = max(max(abs(c) for c in off) for off in offsets)
+    planes = raw_planes.copy()
+    if min(shape) <= 2 * r + 1:
+        ipad = np.pad(interior, r, constant_values=False)
+        for k, off in enumerate(offsets):
+            planes[k] *= interior
+            sl = tuple(slice(r + o, r + o + s)
+                       for o, s in zip(off, shape))
+            planes[k] *= ipad[sl]
+        planes[center] = np.where(interior, planes[center], 1.0)
+        return planes
+    ipad = np.pad(interior, r, constant_values=False)
+    for sl in _shell_slabs(shape, r):
+        isl = interior[sl]
+        for k, off in enumerate(offsets):
+            nsl = tuple(
+                slice(s.start + r + o, s.stop + r + o)
+                for s, o in zip(sl, off)
+            )
+            planes[k][sl] *= isl & ipad[nsl]
+        planes[center][sl] = np.where(isl, planes[center][sl], 1.0)
+    return planes
+
+
 def _merge_planes(offs_a, planes_a, offs_b, planes_b, shape):
     """Sum two stencil operators with (possibly) different offset sets."""
     acc = {}
@@ -394,7 +496,11 @@ def _finish_level(
     b: np.ndarray,
 ) -> AssembledLevel:
     """Shared tail of assembly: Dirichlet values, lifting, set_bc, and
-    symmetric elimination (dolfinx semantics, see assemble_level)."""
+    symmetric elimination (dolfinx semantics, see assemble_level).
+    Lifting/elimination touch only the boundary shell; the manufactured
+    Dirichlet values evaluate on broadcast (sparse-meshgrid) coordinate
+    axes — the dense per-node meshgrids and full-grid matvec the previous
+    version used dominated 128^3+ build time."""
     ndim = lat_grid.ndim
     shape = lat_grid.shape
     interior = lat_grid.interior_mask()
@@ -403,24 +509,23 @@ def _finish_level(
     # Dirichlet values from the manufactured solution
     # (reference Multigrid_prototype.py:77-78).
     exact_fn = problem.resolved_exact()
-    coords = lat_grid.coords()
-    g = np.where(boundary, exact_fn(*coords), 0.0)
+    axes = [np.linspace(0.0, 1.0, s) for s in shape]
+    try:
+        vals = np.broadcast_to(
+            exact_fn(*np.meshgrid(*axes, indexing="ij", sparse=True)),
+            shape)
+    except Exception:  # non-broadcasting user callable
+        vals = exact_fn(*lat_grid.coords())
+    g = np.where(boundary, vals, 0.0)
 
     # apply_lifting + set_bc.
-    b = b - stencil_apply_np(A_offsets, A_raw_planes, g)
+    b = apply_lifting_np(A_offsets, A_raw_planes, g, b)
     b = np.where(boundary, g, b)
 
     # Symmetric elimination of bc rows/columns; identity on bc diagonal.
-    A_planes = A_raw_planes.copy()
-    rmax = max(max(abs(c) for c in off) for off in A_offsets)
-    interior_pad = np.pad(interior, rmax, constant_values=False)
-    for k, off in enumerate(A_offsets):
-        A_planes[k] *= interior                       # zero bc rows
-        sl = tuple(slice(rmax + o, rmax + o + s) for o, s in zip(off, shape))
-        A_planes[k] *= interior_pad[sl]               # zero bc columns
+    A_planes = eliminate_dirichlet_np(A_offsets, A_raw_planes, interior)
     zero_off = (0,) * ndim
     center = A_offsets.index(zero_off)
-    A_planes[center] = np.where(boundary, 1.0, A_planes[center])
 
     return AssembledLevel(
         grid=lat_grid,
@@ -437,8 +542,9 @@ def _finish_level(
 
 
 def assemble_hierarchy(grids: Sequence[GridLevel],
-                       problem: ProblemSpec) -> List[AssembledLevel]:
+                       problem: ProblemSpec,
+                       need_mass: bool = True) -> List[AssembledLevel]:
     """Assemble every level (the reference re-discretizes each level rather
     than Galerkin-coarsening — Multigrid_prototype.py:62; Galerkin RAP is the
     alternative path in fem.galerkin)."""
-    return [assemble_level(g, problem) for g in grids]
+    return [assemble_level(g, problem, need_mass=need_mass) for g in grids]

@@ -184,11 +184,20 @@ def _pad_grid(x: np.ndarray, target: Optional[Tuple[int, ...]],
     return np.pad(x, pads, constant_values=value)
 
 
-def _pad_planes(planes: np.ndarray, target: Optional[Tuple[int, ...]]) -> np.ndarray:
-    if target is None:
+def _pad_planes(planes: np.ndarray, target: Optional[Tuple[int, ...]],
+                np_dtype=None) -> np.ndarray:
+    """Pad planes to the target grid AND cast to the shipping dtype in ONE
+    allocation+assignment pass (np.pad of f64 followed by a separate f64->
+    f32 conversion inside jnp.asarray cost two extra full passes per plane
+    set — ~50 s of a 128^3 variable-coefficient build)."""
+    if target is None and np_dtype is None:
         return planes
-    pads = ((0, 0),) + tuple((0, t - s) for s, t in zip(planes.shape[1:], target))
-    return np.pad(planes, pads)
+    tgt = tuple(target) if target is not None else planes.shape[1:]
+    out = np.zeros((planes.shape[0],) + tgt,
+                   dtype=np_dtype or planes.dtype)
+    out[(slice(None),) + tuple(slice(0, s) for s in planes.shape[1:])] = \
+        planes
+    return out
 
 
 def _level_from_assembled(
@@ -200,27 +209,50 @@ def _level_from_assembled(
     # never read their planes at apply time (weights become immediates,
     # masks come from iota) — detected structurally, so Galerkin/variable-
     # coefficient operators automatically fall back to the planes path.
+    np_dtype = np.dtype(str(dtype))
     A_w = detect_const_stencil(
         asm.offsets, asm.A_planes, asm.interior, boundary_mode="identity"
     )
     A = StencilOperator.from_numpy(
-        asm.offsets, _pad_planes(asm.A_planes, pad_points), dtype=dtype,
+        asm.offsets, _pad_planes(asm.A_planes, pad_points, np_dtype),
+        dtype=dtype,
         const_weights=A_w, logical_m=logical_m, boundary_mode="identity",
     )
     diag = asm.diag
     dinv_np = 1.0 / diag
     center = asm.offsets.index((0,) * asm.grid.ndim)
-    # R_omega = Dinv (A - D): scale rows by Dinv, zero the center plane —
-    # mirrors getJacobiMatrices (multigrid.py:48-56) but in stencil form.
-    r_planes = asm.A_planes * dinv_np[None]
-    r_planes[center] = 0.0
-    R_w = detect_const_stencil(
-        asm.offsets, r_planes, asm.interior, boundary_mode="zero"
-    )
-    r_omega = StencilOperator.from_numpy(
-        asm.offsets, _pad_planes(r_planes, pad_points), dtype=dtype,
-        const_weights=R_w, logical_m=logical_m, boundary_mode="zero",
-    )
+    storage = tuple(pad_points) if pad_points is not None else asm.grid.shape
+    # R_omega = Dinv (A - D): the reference's getJacobiMatrices
+    # (multigrid.py:48-56) in stencil form.  For const operators its
+    # interior weights are just w_off / w_center — plane-free.  For
+    # variable-coefficient operators, only the Jacobi smoother ever
+    # applies it, and materializing it for rbgs/chebyshev configs would
+    # double the per-level plane storage in HBM for nothing (at 512^3
+    # that is the difference between fitting a chip and not) — those get
+    # a plane-free sentinel; jacobi_smooth falls back to the
+    # algebraically-identical A-based update on it.
+    if A_w is not None:
+        wc = A_w[center]
+        R_w = tuple(
+            0.0 if k == center else w / wc for k, w in enumerate(A_w)
+        )
+        r_omega = StencilOperator(
+            planes=None, offsets=asm.offsets, const_weights=R_w,
+            logical_m=logical_m, boundary_mode="zero", grid_shape=storage,
+        )
+    elif config.cycle.smoother == "jacobi":
+        r_planes = asm.A_planes * dinv_np[None]
+        r_planes[center] = 0.0
+        r_omega = StencilOperator.from_numpy(
+            asm.offsets, _pad_planes(r_planes, pad_points, np_dtype),
+            dtype=dtype,
+            const_weights=None, logical_m=logical_m, boundary_mode="zero",
+        )
+    else:
+        r_omega = StencilOperator(
+            planes=None, offsets=asm.offsets, const_weights=None,
+            logical_m=logical_m, boundary_mode="zero", grid_shape=storage,
+        )
 
     if config.cycle.smoother == "chebyshev":
         lmax = estimate_lmax_dinv_a(asm.offsets, asm.A_planes, diag)
@@ -262,7 +294,14 @@ def build_hierarchy(
     by the Pallas path for tile alignment)."""
     dtype = jnp.dtype(config.dtype)
     grids = build_grid_hierarchy(config.hierarchy, ndim=config.problem.ndim)
-    asms = fem_assembly.assemble_hierarchy(grids, config.problem)
+    # consistent-mass planes are only consumed when the operator needs
+    # them (P2's M_fine, or a reaction term A += c M); P1 hierarchies get
+    # the boundary-class-table mass, so assembly skips K full-grid mass
+    # passes per level
+    need_mass = (config.problem.degree != 1
+                 or config.problem.reaction != 0.0)
+    asms = fem_assembly.assemble_hierarchy(grids, config.problem,
+                                           need_mass=need_mass)
 
     if config.hierarchy.coarse_operator == "galerkin":
         from ..fem.galerkin import galerkin_coarsen_hierarchy
@@ -304,11 +343,32 @@ def build_hierarchy(
         dtype=dtype,
     )
     fine_asm = asms[-1]
-    M_fine = StencilOperator.from_numpy(
-        fine_asm.M_offsets,
-        _pad_planes(fine_asm.M_planes, pad_points[-1]),
-        dtype=dtype,
-    )
+    if config.problem.degree == 1:
+        # The consistent P1 mass matrix on the uniform grid never depends
+        # on kappa — only on which domain faces clip a node's support —
+        # so the zero-HBM boundary-class-table form applies to EVERY P1
+        # hierarchy, not just lean ones.  At 512^3 the materialized mass
+        # planes alone would cost 27 x 0.5 GB; the tables cost 27 x 27
+        # floats (verified entry-exact against the assembled prototype in
+        # fem.fast_const.mass_class_tables).
+        from ..fem.fast_const import mass_class_tables
+
+        m_offsets, m_tables = mass_class_tables(config.problem)
+        g_f = grids[-1]
+        h_scale = (g_f.h * 4.0) ** config.problem.ndim  # prototype h0=1/4
+        M_fine = StencilOperator(
+            planes=None,
+            offsets=tuple(map(tuple, m_offsets)),
+            logical_m=g_f.points_per_dim,
+            grid_shape=tuple(levels[-1].shape),
+            class_tables=jnp.asarray(m_tables * h_scale, dtype=dtype),
+        )
+    else:
+        M_fine = StencilOperator.from_numpy(
+            fine_asm.M_offsets,
+            _pad_planes(fine_asm.M_planes, pad_points[-1]),
+            dtype=dtype,
+        )
     eq = error_quadrature(grids[-1], config.problem)
     return Hierarchy(
         levels=levels,
