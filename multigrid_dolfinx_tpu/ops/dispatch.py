@@ -54,12 +54,17 @@ def pallas_planes_eligible(A: StencilOperator, shape: Tuple[int, ...],
     Galerkin, kappa(x), screened Poisson — the configurations that
     previously always fell back to the much slower plain-XLA path
     (reference capability: dolfinx's general forms,
-    Multigrid_prototype.py:88-91)."""
+    Multigrid_prototype.py:88-91).  3D additionally admits radius-2 (P2)
+    operators: the per-color-pass GS and single-stage Jacobi/residual
+    kernels take the radius as their window halo.  (2D keeps radius 1:
+    its GS kernel runs all colors inside one window, whose halo cannot
+    cover 9 mod-3 color stages at radius 2.)"""
     if A.planes is None or len(shape) not in (2, 3):
         return False
-    if A.radius != 1:
+    max_radius = 2 if len(shape) == 3 else 1
+    if A.radius > max_radius:
         return False
-    if len(shape) == 3 and shape[0] < 3:
+    if len(shape) == 3 and shape[0] < 2 * A.radius + 1:
         return False
     return jnp.dtype(dtype) == jnp.float32 and layout_aligned(shape)
 

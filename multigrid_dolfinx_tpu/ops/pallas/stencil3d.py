@@ -1258,7 +1258,7 @@ def prolong_linear_add(c_coarse, v_fine, lmf: int, interpret: bool = False):
 # 2^3 coordinate-parity classes for general radius-1).
 # ----------------------------------------------------------------------
 
-def _pick_tz_planes3(Mz, My, Mx, K, itemsize: int = 4) -> int:
+def _pick_tz_planes3(Mz, My, Mx, K, itemsize: int = 4, h: int = 1) -> int:
     import os
 
     slab = My * Mx * itemsize
@@ -1266,10 +1266,10 @@ def _pick_tz_planes3(Mz, My, Mx, K, itemsize: int = 4) -> int:
     cand = (int(env),) if env else (4, 2, 1)
     budget = 88 * 1024 * 1024
     for tz in cand:
-        # v windows 2(tz+2) + pallas-pipelined f/planes/out blocks
+        # v windows 2(tz+2h) + pallas-pipelined f/planes/out blocks
         # 2(K+2)tz + ~6 slabs of kernel-body intermediates
-        need = (2 * (tz + 2) + 2 * (K + 2) * tz + 6) * slab
-        if Mz % tz == 0 and Mz >= tz + 2 and need <= budget:
+        need = (2 * (tz + 2 * h) + 2 * (K + 2) * tz + 6) * slab
+        if Mz % tz == 0 and Mz >= tz + 2 * h and need <= budget:
             return tz
     return 0
 
@@ -1284,15 +1284,15 @@ def _planes3_kernel(body):
     Mosaic kernel instead of costing a separate large compile each."""
 
     def kernel(zb_ref, v_hbm, f_ref, p_ref, out_ref, vwin, sems, *,
-               Mz, My, Mx, tz, **kw):
+               Mz, My, Mx, tz, h=1, **kw):
         i = pl.program_id(0)
         nprog = pl.num_programs(0)
-        ws = tz + 2
+        ws = tz + 2 * h
         zb = zb_ref[0, 0]
         cv = zb_ref[0, 1]
 
         def window_start(block):
-            return jnp.clip(block * tz - 1, 0, Mz - ws)
+            return jnp.clip(block * tz - h, 0, Mz - ws)
 
         def dma(block, slot):
             z0 = window_start(block)
@@ -1311,8 +1311,8 @@ def _planes3_kernel(body):
 
         dma(i, slot).wait()
         v = vwin[slot]
-        o = i * tz - window_start(i)            # 0, 1, or 2
-        for oc in (0, 1, 2):
+        o = i * tz - window_start(i)            # 0..2h
+        for oc in _branch_offsets(tz, h):
             @pl.when(o == oc)
             def _(oc=oc):
                 outs = body(v, f_ref, p_ref, window_start(i) + zb, oc, tz,
@@ -1350,11 +1350,17 @@ def _color_mask3(kind, cv, zg, shape2):
     """Color mask for global z slab `zg` from the RUNTIME color scalar cv.
     kind='sum' (axis-only stencils): (z+y+x) % 2 == cv.  kind='coord':
     cv = pz*4 + py*2 + px packs the per-axis parity class (the
-    itertools.product order of ops.smoothers.multicolor_gs_smooth)."""
+    itertools.product order of ops.smoothers.multicolor_gs_smooth).
+    kind='coord3' (radius-2/P2 stencils): per-axis residue mod 3,
+    cv = (pz*3 + py)*3 + px — the 27 modulus-3 classes."""
     y = jax.lax.broadcasted_iota(jnp.int32, shape2, 0)
     x = jax.lax.broadcasted_iota(jnp.int32, shape2, 1)
     if kind == "sum":
         return ((y + x) % 2) == ((cv + zg) % 2)
+    if kind == "coord3":
+        gate = (zg % 3) == (cv // 9)
+        return jnp.logical_and(
+            gate, ((y % 3) == ((cv // 3) % 3)) & ((x % 3) == (cv % 3)))
     gate = (zg % 2) == (cv // 4)
     return jnp.logical_and(
         gate, ((y % 2) == ((cv // 2) % 2)) & ((x % 2) == (cv % 2)))
@@ -1399,14 +1405,14 @@ def _p3_residual_body(v, f_ref, p_ref, z0w, oc, tz, ws, shape2, *, cv,
 
 
 def _call_planes3(body, v, f, planes, interpret, z_base=None,
-                  color_val=0, **kw):
+                  color_val=0, h=1, **kw):
     Mz, My, Mx = v.shape
     K = planes.shape[0]
-    tz = _pick_tz_planes3(Mz, My, Mx, K)
+    tz = _pick_tz_planes3(Mz, My, Mx, K, h=h)
     if tz == 0:
         return None                      # caller falls back to jnp
     kernel = functools.partial(
-        _planes3_kernel(body), Mz=Mz, My=My, Mx=Mx, tz=tz, **kw
+        _planes3_kernel(body), Mz=Mz, My=My, Mx=Mx, tz=tz, h=h, **kw
     )
     zb = jnp.asarray(
         [[0 if z_base is None else z_base, 0]], jnp.int32
@@ -1426,7 +1432,7 @@ def _call_planes3(body, v, f, planes, interpret, z_base=None,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(v.shape, v.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, tz + 2, My, Mx), v.dtype),
+            pltpu.VMEM((2, tz + 2 * h, My, Mx), v.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -1436,30 +1442,39 @@ def _call_planes3(body, v, f, planes, interpret, z_base=None,
     )(zb, v, f, planes)
 
 
+def _stencil_radius(offsets) -> int:
+    return max(max(abs(c) for c in off) for off in map(tuple, offsets))
+
+
 def planes3_colors(offsets) -> tuple:
     """The color schedule of ops.smoothers.multicolor_gs_smooth for a 3D
-    radius-1 operator: ('sum', (0, 1)) sum-parity red-black when
-    axis-only, else ('coord', range(8)) — the 2^3 coordinate-parity
-    classes in itertools.product order, packed as pz*4 + py*2 + px."""
-    axis_only = all(
-        sum(1 for d in off if d != 0) <= 1 for off in map(tuple, offsets))
+    planes operator: ('sum', (0, 1)) sum-parity red-black when radius-1
+    axis-only; ('coord', range(8)) — the 2^3 coordinate-parity classes —
+    for general radius-1; ('coord3', range(27)) — the 3^3 modulus-3
+    classes — for radius-2 (P2) stencils.  Packing follows
+    itertools.product order."""
+    offs = tuple(map(tuple, offsets))
+    if _stencil_radius(offs) > 1:
+        return ("coord3", tuple(range(27)))
+    axis_only = all(sum(1 for d in off if d != 0) <= 1 for off in offs)
     if axis_only:
         return ("sum", (0, 1))
     return ("coord", tuple(range(8)))
 
 
 def planes3_gs_sweep(v, f, planes, offsets, interpret=False, z_base=None):
-    """One full multicolor GS sweep on a 3D radius-1 planes operator, one
-    kernel pass per color (all passes share one compiled kernel — the
-    color is a runtime SMEM scalar); None if the shape doesn't admit the
-    kernel."""
+    """One full multicolor GS sweep on a 3D radius-1 or radius-2 (P2)
+    planes operator, one kernel pass per color (all passes share one
+    compiled kernel — the color is a runtime SMEM scalar); None if the
+    shape doesn't admit the kernel."""
     offs = tuple(map(tuple, offsets))
     ci = offs.index((0, 0, 0))
     kind, colors = planes3_colors(offs)
+    h = _stencil_radius(offs)
     for cv in colors:
         out = _call_planes3(
             _p3_gs_body, v, f, planes, interpret, z_base=z_base,
-            color_val=cv, offs=offs, ci=ci, kind=kind,
+            color_val=cv, h=h, offs=offs, ci=ci, kind=kind,
         )
         if out is None:
             return None
@@ -1469,32 +1484,34 @@ def planes3_gs_sweep(v, f, planes, offsets, interpret=False, z_base=None):
 
 def planes3_jacobi_sweep(v, f, planes, offsets, w, interpret=False,
                          z_base=None):
-    """One weighted-Jacobi sweep on a 3D radius-1 planes operator; None if
-    the shape doesn't admit the kernel."""
+    """One weighted-Jacobi sweep on a 3D radius-1/radius-2 planes
+    operator; None if the shape doesn't admit the kernel."""
     offs = tuple(map(tuple, offsets))
     ci = offs.index((0, 0, 0))
     return _call_planes3(
         _p3_jacobi_body, v, f, planes, interpret, z_base=z_base,
-        offs=offs, ci=ci, w=float(w),
+        h=_stencil_radius(offs), offs=offs, ci=ci, w=float(w),
     )
 
 
 def planes3_residual(v, f, planes, offsets, interpret=False, z_base=None):
-    """Fused r = f - A v on a 3D radius-1 planes operator; None if the
-    shape doesn't admit the kernel."""
+    """Fused r = f - A v on a 3D radius-1/radius-2 planes operator; None
+    if the shape doesn't admit the kernel."""
     offs = tuple(map(tuple, offsets))
     return _call_planes3(
         _p3_residual_body, v, f, planes, interpret, z_base=z_base,
-        offs=offs,
+        h=_stencil_radius(offs), offs=offs,
     )
 
 
-def planes3_admits(shape: Tuple[int, int, int], K: int) -> bool:
+def planes3_admits(shape: Tuple[int, int, int], K: int,
+                   radius: int = 1) -> bool:
     """Public admission gate for the 3D planes kernels: True iff the
     (padded) grid shape and plane count fit the kernels' VMEM/divisibility
-    constraints.  The smoother pre-check (ops.smoothers._pallas_planes)
-    and the kernel wrappers (_call_planes3) both route through the same
-    _pick_tz_planes3, so the two can never drift and reject different
-    shapes (a drift would surface as planes3_gs_sweep returning None
-    mid-fori_loop — an opaque trace-time failure)."""
-    return _pick_tz_planes3(*shape, K) != 0
+    constraints (window halo = stencil radius).  The smoother pre-check
+    (ops.smoothers._pallas_planes) and the kernel wrappers
+    (_call_planes3) both route through the same _pick_tz_planes3, so the
+    two can never drift and reject different shapes (a drift would
+    surface as planes3_gs_sweep returning None mid-fori_loop — an opaque
+    trace-time failure)."""
+    return _pick_tz_planes3(*shape, K, h=radius) != 0

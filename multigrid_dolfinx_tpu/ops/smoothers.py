@@ -97,10 +97,25 @@ def jacobi_smooth(
     dinv = sm.dinv if sm.dinv is not None else (
         A.dinv() if A is not None else sm.r_omega.dinv()
     )
-    df = dinv * f
 
-    def sweep(_, v):
-        return (1.0 - w) * v + w * df - w * sm.r_omega.apply(v)
+    r = sm.r_omega
+    if r.planes is None and r.const_weights is None:
+        # hierarchy built without R_omega storage (HBM saver for
+        # non-Jacobi variable-coefficient configs): the algebraically
+        # identical A-form  v <- v + w Dinv (f - A v)
+        if A is None:
+            raise ValueError(
+                "this hierarchy was built without R_omega planes "
+                "(smoother != 'jacobi' at build time); pass A or rebuild "
+                "with smoother='jacobi'")
+
+        def sweep(_, v):
+            return v + w * (dinv * (f - A.apply(v)))
+    else:
+        df = dinv * f
+
+        def sweep(_, v):
+            return (1.0 - w) * v + w * df - w * sm.r_omega.apply(v)
 
     if unroll or nsweeps <= 2:
         for k in range(nsweeps):
@@ -293,7 +308,8 @@ def _pallas_planes(sm, A, v, f, nsweeps, kind):
     else:
         from .pallas import stencil3d
 
-        if not stencil3d.planes3_admits(v.shape, A.planes.shape[0]):
+        if not stencil3d.planes3_admits(v.shape, A.planes.shape[0],
+                                        A.radius):
             return None                  # shape doesn't admit the kernel
 
         def sweep(_, v):
