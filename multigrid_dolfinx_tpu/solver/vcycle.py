@@ -196,6 +196,49 @@ def _residual_restrict_fused(lv, lv_c, v, f, spec):
     )
 
 
+def _fused_tail_levels(hier: Hierarchy, spec: CycleSpec, j: int):
+    """Static eligibility of the fused coarse-tail kernels for the
+    sub-hierarchy 0..j (see ops.pallas.stencil3d_tail): pure-V recursion,
+    f32 const-7 levels with aligned storage, top level under the VMEM
+    threshold.  Returns the levels tuple or None."""
+    # the tail kernels smooth with red-black GS only (the production
+    # smoother); other smoothers keep the per-level path
+    if (not spec.use_pallas or spec.cycle != "V" or j < 1
+            or spec.smoother != "rbgs"):
+        return None
+    from ..ops import dispatch
+    from ..ops.pallas import stencil3d_tail as tail
+
+    levels = []
+    for lv in hier.levels[: j + 1]:
+        if lv.A.planes is not None or len(lv.shape) != 3:
+            return None
+        w = dispatch.const7_weights(lv.A)
+        if w is None:
+            return None
+        levels.append((lv.n + 1, tuple(lv.shape), w[0], w[1]))
+    if hier.levels[j].b.dtype != jnp.float32:
+        return None
+    if not tail.tail_eligible(levels):
+        return None
+    return tuple(levels)
+
+
+def _tail_or_recurse(hier, spec, j, vc, fc):
+    """Recursion step into level j with zero initial guess: the fused
+    two-kernel tail when eligible, else the per-level vcycle."""
+    levels = _fused_tail_levels(hier, spec, j)
+    if levels is not None:
+        from ..ops import dispatch
+        from ..ops.pallas import stencil3d_tail as tail
+
+        return tail.fused_tail_vcycle(
+            levels, fc, hier.coarse.solve, spec.nu1, spec.nu2,
+            interpret=dispatch.interpret_mode(),
+        )
+    return vcycle(hier, spec, j, vc, fc)
+
+
 def vcycle(
     hier: Hierarchy,
     spec: CycleSpec,
@@ -232,7 +275,7 @@ def vcycle(
     vc = jnp.zeros_like(fc)
 
     if spec.cycle == "V" or lidx - 1 == 0:
-        vc = vcycle(hier, spec, lidx - 1, vc, fc)
+        vc = _tail_or_recurse(hier, spec, lidx - 1, vc, fc)
     elif spec.cycle == "W":
         vc = vcycle(hier, spec, lidx - 1, vc, fc)
         vc = vcycle(hier, spec, lidx - 1, vc, fc)

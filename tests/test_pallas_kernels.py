@@ -637,3 +637,36 @@ def test_planes3_screened_solve_matches_jnp_path():
     )
     u = np.asarray(rp.u)
     assert abs(u[lm // 2, lm // 2, lm // 2] - 2.5) < 2e-2
+
+
+def test_fused_tail_matches_per_level_kernels(monkeypatch):
+    """The two-kernel fused coarse tail (ops.pallas.stencil3d_tail) is
+    bitwise-equivalent to the per-level kernel V-cycle it replaces: same
+    candidate expressions, masks, [1,2,1]^3 restriction, trilinear
+    prolongation — only the launch structure changes."""
+    from multigrid_dolfinx_tpu import models
+    from multigrid_dolfinx_tpu.config import CycleSpec
+    from multigrid_dolfinx_tpu.solver.hierarchy import build_lean_hierarchy
+    from multigrid_dolfinx_tpu.solver.vcycle import (
+        _fused_tail_levels,
+        vcycle,
+    )
+
+    cyc = CycleSpec(nu1=2, nu2=2, smoother="rbgs", restriction="pt",
+                    tol=0.0, rtol=1e-6, max_cycles=40, use_pallas=True,
+                    track_error=False)
+    cfg = models.poisson3d(finest_level=3, coarsest_level=1,
+                           coarsest_elements=4, dtype="float32", cycle=cyc)
+    hier = build_lean_hierarchy(cfg)
+    L = hier.num_levels - 1
+    assert _fused_tail_levels(hier, cyc, L - 1) is not None
+
+    f = hier.finest.b
+    v0 = jnp.zeros_like(f)
+    v_tail = vcycle(hier, cyc, L, v0, f)
+
+    monkeypatch.setenv("MG_TAIL_LM", "0")       # force per-level kernels
+    assert _fused_tail_levels(hier, cyc, L - 1) is None
+    v_ref = vcycle(hier, cyc, L, v0, f)
+    np.testing.assert_allclose(np.asarray(v_tail), np.asarray(v_ref),
+                               rtol=0.0, atol=1e-6)
