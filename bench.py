@@ -89,17 +89,23 @@ def bench_device(ndim: int, n_elems: int, cycles: int, use_pallas: bool):
     v = k_cycles(hier, v0)
     float(v[(1,) * v.ndim])  # readback forces real completion
     _flush(f"compile+warmup {time.time() - t0:.1f}s; timing...")
+    del v                    # a live warmup output is a whole fine array
 
     reps = 3
     # distinct inputs per rep: the remote-execution layer caches identical
-    # calls, and async dispatch means only a readback proves completion
-    vs = [jnp.full_like(v0, 1e-6 * (i + 1)) for i in range(reps)]
-    for vv in vs:
-        vv.block_until_ready()
+    # calls, and async dispatch means only a readback proves completion.
+    # Each rep's input is created inside the timed region and freed after
+    # its call (pre-building all of them held reps extra fine arrays live
+    # — at 768^3 that alone exceeded HBM); the one fill pass per rep is
+    # <0.2% of the 20-cycle call it feeds.
+    shape, dt_ = v0.shape, v0.dtype
+    del v0
     t0 = time.perf_counter()
-    for vv in vs:
+    for i in range(reps):
+        vv = jnp.full(shape, 1e-6 * (i + 1), dt_)
         out = k_cycles(hier, vv)
         float(out[(1,) * out.ndim])
+        del vv, out
     dt = (time.perf_counter() - t0) / reps
 
     # correctness guard: full solve to 1e-8 relative residual

@@ -308,8 +308,12 @@ def _pick_tz_rolling(Mz, My, Mx, h, itemsize: int = 4) -> int:
     slab = My * Mx * itemsize
     # scratch (windows + staging + ttmp + out block) plus ~3*ws slabs of
     # Mosaic stack for the kernel-body intermediates (masked window, the
-    # stacked red result, iota masks) must fit the 112M vmem limit.
-    budget = 100 * 1024 * 1024
+    # stacked red result, iota masks) must fit the 127M vmem limit.
+    # The budget tracks that limit: at 768^3 slabs (776x896 = 2.78 MB)
+    # the old 100M budget rejected tz=2 and fell to tz=1, where the
+    # per-block halo recompute (h extra stage slabs per 1 output slab)
+    # made the fine sweep compute-bound at ~2.4x the tz=2 cost.
+    budget = 124 * 1024 * 1024
     env = os.environ.get("MG_TZ")
     cand = (int(env),) if env else (4, 2, 1)
     for tz in cand:
@@ -375,7 +379,7 @@ def _call_rolling(prelude, emit, v, f, lm, h, interpret, z_base=None,
             pltpu.SemaphoreType.DMA((3, 2)),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=112 * 1024 * 1024,
+            vmem_limit_bytes=127 * 1024 * 1024,
         ),
         # default off: measured perf-neutral at 512^3 (22.3 vs 22.4 ms per
         # V-cycle, one alias sample at 24.6 — in-place writes trail the
