@@ -30,6 +30,7 @@ from .solver.hierarchy import (
     Level,
     build_hierarchy,
     build_lean_hierarchy,
+    build_var_hierarchy,
 )
 from .solver.fmg import (
     SolveResult,
@@ -67,6 +68,7 @@ __all__ = [
     "solve_batched",
     "resume_solve",
     "build_lean_hierarchy",
+    "build_var_hierarchy",
     "vcycle",
     "residual_norm",
     "error_norm",
