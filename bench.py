@@ -165,11 +165,18 @@ def main():
     # to < 1 ms/cycle without stretching the bench past the driver window.
     cycles = int(os.environ.get("MG_BENCH_CYCLES", "20"))
     base_n = int(os.environ.get("MG_BENCH_BASE_N",
-                                "64" if ndim == 3 else "512"))
+                                "128" if ndim == 3 else "1024"))
     use_pallas = os.environ.get("MG_BENCH_PALLAS", "1") == "1"
 
     dev = bench_device(ndim, n_elems, cycles, use_pallas)
-    baseline = bench_oracle_baseline(ndim, base_n, max(2, cycles // 2))
+    # Oracle measured at two sizes: the smaller shows the in-cache rate,
+    # the larger (2M+ DOFs, default 128^3 / 1024^2 — well out of L3) is
+    # what vs_baseline uses, so the per-DOF extrapolation to the device's
+    # problem size leans on the slower, defensible out-of-cache number.
+    base_small = base_n // 2
+    baseline_small = bench_oracle_baseline(ndim, base_small,
+                                           max(2, cycles // 2))
+    baseline = bench_oracle_baseline(ndim, base_n, max(2, cycles // 4))
 
     print(
         json.dumps(
@@ -188,8 +195,13 @@ def main():
                     "config": "V(2,2) rbgs + P^T restriction, f32, "
                               "lean hierarchy, pallas kernels",
                     "baseline": "scipy-CSR reference-semantics oracle on "
-                                "host CPU (DOF/s per V-cycle)",
+                                "host CPU (DOF/s per V-cycle, measured "
+                                f"at {base_n}^{ndim} elements)",
                     "baseline_dofs_per_s": round(baseline, 1),
+                    "baseline_dofs_per_s_small": {
+                        "n_elems": base_small,
+                        "dofs_per_s": round(baseline_small, 1),
+                    },
                 },
             }
         )

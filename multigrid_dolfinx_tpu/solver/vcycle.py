@@ -196,6 +196,22 @@ def _residual_restrict_fused(lv, lv_c, v, f, spec):
     )
 
 
+def _cycle_fuse_ok(lv, lv_c, spec, v, f):
+    """Static eligibility of the cycle-step fusion kernels
+    (ops.pallas.stencil3d_cycle): 3D const-7 f32 rbgs levels with
+    tile-aligned fine AND coarse storage."""
+    if not (spec.use_pallas and spec.smoother == "rbgs"
+            and spec.restriction == "pt" and spec.prolongation == "bilinear"
+            and v.ndim == 3):
+        return None
+    from ..ops import dispatch
+
+    if not (dispatch.pallas_eligible(lv.A, v.shape, v.dtype)
+            and dispatch.layout_aligned(lv_c.shape)):
+        return None
+    return dispatch.const7_weights(lv.A)
+
+
 def _fused_tail_levels(hier: Hierarchy, spec: CycleSpec, j: int):
     """Static eligibility of the fused coarse-tail kernels for the
     sub-hierarchy 0..j (see ops.pallas.stencil3d_tail): pure-V recursion,
@@ -265,9 +281,41 @@ def vcycle(
 
     lv = hier.levels[lidx]
     lv_c = hier.levels[lidx - 1]
-    v = smooth(lv.sm, lv.A, v, f, spec.nu1, spec.smoother,
-               use_pallas=spec.use_pallas)
-    fc = _residual_restrict_fused(lv, lv_c, v, f, spec)
+    # Cycle-step fusion (MG_CYCLE_FUSE=1, measured and REJECTED — off by
+    # default): the LAST pre-smooth sweep + residual + P^T restriction in
+    # one rolling pass, and prolong+correct + FIRST post-smooth likewise.
+    # Each saves a 2.4-2.6 ms fine-grid re-read at 512^3 but the fused
+    # sweep's dependency pyramid (halo 4 / halo 2 stage ranges) tips the
+    # DMA-bound sweep compute-bound: traced 25.6 (A only) / 25.7 (B only)
+    # vs 21.1 ms/V-cycle baseline.  Kept behind the flag with bitwise
+    # equivalence tests (tests/test_pallas_kernels.py) — same verdict as
+    # the MG_RB2 double-sweep fusion (BENCHMARKS.md measured-rejects).
+    import os as _os
+    _fuse = _os.environ.get("MG_CYCLE_FUSE", "0") == "1"
+    cw = _cycle_fuse_ok(lv, lv_c, spec, v, f) if _fuse else None
+    fc = None
+    fuse_a = cw is not None and _os.environ.get("MG_FUSE_A", "1") == "1"
+    fuse_b = cw is not None and _os.environ.get("MG_FUSE_B", "1") == "1"
+    if fuse_a and spec.nu1 >= 1:
+        from ..ops import dispatch
+        from ..ops.pallas import stencil3d_cycle
+
+        v1 = smooth(lv.sm, lv.A, v, f, spec.nu1 - 1, spec.smoother,
+                    use_pallas=spec.use_pallas) if spec.nu1 > 1 else v
+        out = stencil3d_cycle.rb_residual_restrict_fused(
+            v1, f, lv_c.shape, lv.n + 1, lv_c.n + 1, cw[0], cw[1],
+            interpret=dispatch.interpret_mode(),
+        )
+        if out is not None:
+            v, fc = out
+        else:
+            v = smooth(lv.sm, lv.A, v1, f, 1, spec.smoother,
+                       use_pallas=spec.use_pallas)
+    else:
+        v = smooth(lv.sm, lv.A, v, f, spec.nu1, spec.smoother,
+                   use_pallas=spec.use_pallas)
+    if fc is None:
+        fc = _residual_restrict_fused(lv, lv_c, v, f, spec)
     if fc is None:
         r = compute_residual(lv, v, f, use_pallas=spec.use_pallas)
         fc = restrict_level(r, lv, lv_c, spec.restriction,
@@ -296,11 +344,28 @@ def vcycle(
         e = prolong_level(vc, lv_c, lv, spec.prolongation,
                           use_pallas=spec.use_pallas)
         v = v + e
+        v = smooth(lv.sm, lv.A, v, f, spec.nu2, spec.smoother,
+                   use_pallas=spec.use_pallas)
     else:
-        v = prolong_correct(vc, lv_c, lv, v, spec.prolongation,
-                            use_pallas=spec.use_pallas)
-    v = smooth(lv.sm, lv.A, v, f, spec.nu2, spec.smoother,
-               use_pallas=spec.use_pallas)
+        # Cycle-step fusion: prolong+correct + the FIRST post-smooth
+        # sweep in one rolling pass (saves re-reading v and f).
+        v2 = None
+        if fuse_b and spec.nu2 >= 1:
+            from ..ops import dispatch
+            from ..ops.pallas import stencil3d_cycle
+
+            v2 = stencil3d_cycle.prolong_correct_rb_fused(
+                vc, v, f, lv.n + 1, cw[0], cw[1],
+                interpret=dispatch.interpret_mode(),
+            )
+        if v2 is not None:
+            v = smooth(lv.sm, lv.A, v2, f, spec.nu2 - 1, spec.smoother,
+                       use_pallas=spec.use_pallas) if spec.nu2 > 1 else v2
+        else:
+            v = prolong_correct(vc, lv_c, lv, v, spec.prolongation,
+                                use_pallas=spec.use_pallas)
+            v = smooth(lv.sm, lv.A, v, f, spec.nu2, spec.smoother,
+                       use_pallas=spec.use_pallas)
     if collect_debug:
         return v, (fc, vc, e)
     return v

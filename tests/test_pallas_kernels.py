@@ -670,3 +670,76 @@ def test_fused_tail_matches_per_level_kernels(monkeypatch):
     v_ref = vcycle(hier, cyc, L, v0, f)
     np.testing.assert_allclose(np.asarray(v_tail), np.asarray(v_ref),
                                rtol=0.0, atol=1e-6)
+
+
+def test_cycle_step_fusion_matches_per_op_kernels(monkeypatch):
+    """The cycle-step fusion kernels (ops.pallas.stencil3d_cycle): the
+    last-pre-smooth+residual+restrict pass and the prolong+correct+
+    first-post-smooth pass are bitwise-equivalent to the per-op kernel
+    chain they replace, across full V-cycles and at nu=1 edges."""
+    from multigrid_dolfinx_tpu import models
+    from multigrid_dolfinx_tpu.config import CycleSpec
+    from multigrid_dolfinx_tpu.solver.hierarchy import build_lean_hierarchy
+    from multigrid_dolfinx_tpu.solver import vcycle as vc
+
+    for nu in (2, 1):
+        cyc = CycleSpec(nu1=nu, nu2=nu, smoother="rbgs", restriction="pt",
+                        tol=0.0, rtol=1e-6, max_cycles=40,
+                        use_pallas=True, track_error=False)
+        cfg = models.poisson3d(finest_level=3, coarsest_level=1,
+                               coarsest_elements=4, dtype="float32",
+                               cycle=cyc)
+        hier = build_lean_hierarchy(cfg)
+        L = hier.num_levels - 1
+        f = hier.finest.b
+        v0 = jnp.zeros_like(f)
+        monkeypatch.setenv("MG_CYCLE_FUSE", "1")
+        v_fused = vc.vcycle(hier, cyc, L, v0, f)
+        monkeypatch.setenv("MG_CYCLE_FUSE", "0")
+        v_ref = vc.vcycle(hier, cyc, L, v0, f)
+        np.testing.assert_allclose(np.asarray(v_fused), np.asarray(v_ref),
+                                   rtol=0.0, atol=1e-6)
+
+
+def test_cycle_fusion_kernels_direct():
+    """Direct interpret-mode equivalence of both fusion kernels vs the
+    validated per-op kernels on a mid-size aligned shape."""
+    from multigrid_dolfinx_tpu.ops.pallas import stencil3d as s3
+    from multigrid_dolfinx_tpu.ops.pallas import stencil3d_cycle as sc
+
+    rng = np.random.default_rng(7)
+    lmf, lmc = 33, 17
+    fs, cs = (40, 40, 128), (24, 24, 128)
+    wc, woff = 6.0, -1.0
+
+    def mk(shape, lm, interior_only=False):
+        x = rng.standard_normal(shape).astype(np.float32)
+        m = np.zeros(shape, bool)
+        if interior_only:
+            m[1:lm - 1, 1:lm - 1, 1:lm - 1] = True
+        else:
+            m[:lm, :lm, :lm] = True
+        return jnp.asarray(np.where(m, x, 0.0))
+
+    v, f = mk(fs, lmf), mk(fs, lmf)
+    c = mk(cs, lmc, interior_only=True)
+
+    v1 = s3.rb_sweep_fused(v, f, lmf, wc, woff, interpret=True)
+    fc_ref = s3.restrict_residual_pt(v1, f, cs, lmf, lmc, wc, woff,
+                                     interpret=True)
+    out = sc.rb_residual_restrict_fused(v, f, cs, lmf, lmc, wc, woff,
+                                        interpret=True)
+    assert out is not None
+    va, fca = out
+    np.testing.assert_allclose(np.asarray(va), np.asarray(v1), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(fca), np.asarray(fc_ref),
+                               atol=1e-6)
+
+    v2_ref = s3.rb_sweep_fused(
+        s3.prolong_linear_add(c, v, lmf, interpret=True), f, lmf,
+        wc, woff, interpret=True)
+    v2 = sc.prolong_correct_rb_fused(c, v, f, lmf, wc, woff,
+                                     interpret=True)
+    assert v2 is not None
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v2_ref),
+                               atol=1e-6)
