@@ -17,7 +17,8 @@ reference does per-DOF Python dict loops (multigrid.py:59-198), so
 vs_baseline understates the true speedup.
 
 Env knobs: MG_BENCH_NDIM (3|2), MG_BENCH_N (elements/dim), MG_BENCH_CYCLES,
-MG_BENCH_PALLAS (1|0), MG_BENCH_BASE_N.
+MG_BENCH_PALLAS (1|0), MG_BENCH_BASE_N, MG_BENCH_MIXED (1 = float32
+iterative refinement around a bfloat16 inner V-cycle, solver/mixed.py).
 """
 from __future__ import annotations
 
@@ -45,7 +46,8 @@ def _factor_levels(n_elems: int):
     return base, level
 
 
-def bench_device(ndim: int, n_elems: int, cycles: int, use_pallas: bool):
+def bench_device(ndim: int, n_elems: int, cycles: int, use_pallas: bool,
+                 mixed: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -71,22 +73,61 @@ def bench_device(ndim: int, n_elems: int, cycles: int, use_pallas: bool):
     model = models.poisson3d if ndim == 3 else models.poisson2d
     cfg = model(finest_level=finest, coarsest_level=max(0, finest - 6),
                 coarsest_elements=base, dtype="float32", cycle=cyc)
-    _flush(f"building lean hierarchy ({n_elems}^{ndim})...")
-    hier = build_lean_hierarchy(cfg)
-    jax.block_until_ready(hier.finest.b)
-    L = hier.num_levels - 1
-
-    @jax.jit
-    def k_cycles(hier, v):
-        f = hier.finest.b
-        return jax.lax.fori_loop(
-            0, cycles, lambda i, vv: vcycle(hier, cyc, L, vv, f), v
+    _flush(f"building lean hierarchy ({n_elems}^{ndim}, mixed={mixed})...")
+    if mixed:
+        # float32 iterative refinement around a bfloat16 inner V-cycle
+        # (solver/mixed.py): the timed unit is one refinement iteration —
+        # bf16 V-cycle on the correction + the f32 fine residual that
+        # feeds the next iteration (and the convergence test), i.e.
+        # everything the tolerance loop pays per cycle.
+        from multigrid_dolfinx_tpu.solver.mixed import (
+            _from16, _to16, build_mixed, solve_mixed,
         )
+        from multigrid_dolfinx_tpu.solver.vcycle import compute_residual
+
+        mh = build_mixed(cfg)
+        hier = mh.h32
+        jax.block_until_ready(hier.finest.b)
+        L = hier.num_levels - 1
+        shape16 = tuple(mh.h16.finest.shape)
+        shape32 = tuple(hier.finest.shape)
+
+        @jax.jit
+        def k_cycles(mh_, v):
+            f = mh_.h32.finest.b
+            f16_zero = jnp.zeros(shape16, jnp.bfloat16)
+
+            def body(i, carry):
+                v, r = carry
+                e16 = vcycle(mh_.h16, cyc, L, f16_zero, _to16(r, shape16))
+                v = v + _from16(e16, shape32)
+                r = compute_residual(mh_.h32.finest, v, f,
+                                     use_pallas=use_pallas)
+                return v, r
+
+            r0 = compute_residual(mh_.h32.finest, v, f,
+                                  use_pallas=use_pallas)
+            return jax.lax.fori_loop(0, cycles, body, (v, r0))[0]
+
+        bench_arg = mh
+    else:
+        hier = build_lean_hierarchy(cfg)
+        jax.block_until_ready(hier.finest.b)
+        L = hier.num_levels - 1
+
+        @jax.jit
+        def k_cycles(hier, v):
+            f = hier.finest.b
+            return jax.lax.fori_loop(
+                0, cycles, lambda i, vv: vcycle(hier, cyc, L, vv, f), v
+            )
+
+        bench_arg = hier
 
     v0 = jnp.zeros_like(hier.finest.b)
     _flush("compiling V-cycle loop...")
     t0 = time.time()
-    v = k_cycles(hier, v0)
+    v = k_cycles(bench_arg, v0)
     float(v[(1,) * v.ndim])  # readback forces real completion
     _flush(f"compile+warmup {time.time() - t0:.1f}s; timing...")
     del v                    # a live warmup output is a whole fine array
@@ -103,14 +144,17 @@ def bench_device(ndim: int, n_elems: int, cycles: int, use_pallas: bool):
     t0 = time.perf_counter()
     for i in range(reps):
         vv = jnp.full(shape, 1e-6 * (i + 1), dt_)
-        out = k_cycles(hier, vv)
+        out = k_cycles(bench_arg, vv)
         float(out[(1,) * out.ndim])
         del vv, out
     dt = (time.perf_counter() - t0) / reps
 
     # correctness guard: full solve to 1e-8 relative residual
     t0 = time.time()
-    res = solve(hier, cyc, mode="tol")
+    if mixed:
+        res = solve_mixed(mh, cyc)
+    else:
+        res = solve(hier, cyc, mode="tol")
     float(res.u[(1,) * res.u.ndim])
     t_solve = time.time() - t0
     assert bool(res.converged), "bench solve did not converge"
@@ -167,8 +211,9 @@ def main():
     base_n = int(os.environ.get("MG_BENCH_BASE_N",
                                 "128" if ndim == 3 else "1024"))
     use_pallas = os.environ.get("MG_BENCH_PALLAS", "1") == "1"
+    mixed = os.environ.get("MG_BENCH_MIXED", "0") == "1"
 
-    dev = bench_device(ndim, n_elems, cycles, use_pallas)
+    dev = bench_device(ndim, n_elems, cycles, use_pallas, mixed=mixed)
     # Oracle measured at two sizes: the smaller shows the in-cache rate,
     # the larger (2M+ DOFs, default 128^3 / 1024^2 — well out of L3) is
     # what vs_baseline uses, so the per-DOF extrapolation to the device's
@@ -192,8 +237,14 @@ def main():
                     "solve_to_rtol1e-8_seconds_incl_compile":
                         dev["solve_seconds_incl_compile"],
                     "platform": dev["platform"],
-                    "config": "V(2,2) rbgs + P^T restriction, f32, "
-                              "lean hierarchy, pallas kernels",
+                    "config": (
+                        "V(2,2) rbgs + P^T restriction, lean hierarchy, "
+                        "pallas kernels, "
+                        + ("mixed precision (f32 iterative refinement + "
+                           "bf16 inner V-cycle; unit = one refinement "
+                           "iteration incl. the f32 residual)"
+                           if mixed else "f32")
+                    ),
                     "baseline": "scipy-CSR reference-semantics oracle on "
                                 "host CPU (DOF/s per V-cycle, measured "
                                 f"at {base_n}^{ndim} elements)",

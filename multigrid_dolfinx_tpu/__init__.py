@@ -41,6 +41,7 @@ from .solver.fmg import (
     error_norm,
 )
 from .solver.krylov import CGResult, solve_mgcg
+from .solver.mixed import MixedHierarchy, build_mixed, solve_mixed
 from .solver.batched import solve_batched
 from .solver.vcycle import vcycle
 from .utils.compile_cache import enable_compilation_cache
@@ -66,6 +67,9 @@ __all__ = [
     "solve",
     "solve_mgcg",
     "solve_batched",
+    "MixedHierarchy",
+    "build_mixed",
+    "solve_mixed",
     "resume_solve",
     "build_lean_hierarchy",
     "build_var_hierarchy",

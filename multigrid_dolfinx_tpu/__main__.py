@@ -147,6 +147,10 @@ def cmd_solve(args) -> int:
 
         mesh = make_device_mesh(args.shard_devices or None)
         hier = build_sharded_hierarchy(cfg, mesh, lean=args.lean)
+    elif args.mixed:
+        from .solver.mixed import build_mixed
+
+        hier = build_mixed(cfg)
     elif args.lean:
         from .solver.hierarchy import build_lean_hierarchy
 
@@ -156,7 +160,13 @@ def cmd_solve(args) -> int:
     t_build = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    if args.mgcg:
+    if args.mixed:
+        from .solver.mixed import solve_mixed
+
+        result = solve_mixed(hier, cfg.cycle)
+        cycles = int(result.num_cycles)
+        err_hist = np.asarray(result.err_hist)
+    elif args.mgcg:
         from .solver.krylov import solve_mgcg
 
         result = solve_mgcg(hier, cfg.cycle)
@@ -203,7 +213,8 @@ def cmd_solve(args) -> int:
         if err_hist is not None:
             ref_err = None
             do_ref = args.reference_solve or args.reference_parity
-            if do_ref and not args.lean and ndofs <= 2_000_000:
+            if do_ref and not (args.lean or args.mixed) \
+                    and ndofs <= 2_000_000:
                 ref_err = _direct_reference_error(cfg, hier)
             elif do_ref:
                 print("skipping direct reference solve "
@@ -267,6 +278,11 @@ def main(argv=None) -> int:
     ps.add_argument("--no-track-error", action="store_true",
                     help="skip the per-cycle FEM-L2 error-vs-exact norm "
                          "(S*Q compute passes per cycle at scale)")
+    ps.add_argument("--mixed", action="store_true",
+                    help="mixed precision: float32 iterative refinement "
+                         "around a bfloat16 inner V-cycle (lean "
+                         "constant-coefficient configs; halves HBM "
+                         "traffic per cycle)")
     ps.add_argument("--mgcg", action="store_true",
                     help="MG-preconditioned CG instead of plain V-cycles")
     ps.add_argument("--fixed", action="store_true",

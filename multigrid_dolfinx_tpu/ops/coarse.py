@@ -42,7 +42,10 @@ class CoarseSolver:
         # The factorization covers the *logical* grid; slice off any
         # sharding/tile padding and zero-pad the solution back.
         sl = tuple(slice(0, s) for s in self.grid_shape)
-        f = f_grid[sl].reshape(-1)
+        # Solve in the factor's dtype and cast back: lets a bfloat16
+        # hierarchy (mixed-precision inner cycle) carry a float32-factored
+        # coarse solve — the coarsest grid is tiny, the casts are free.
+        f = f_grid[sl].reshape(-1).astype(self.factor.dtype)
         if self.kind == "cholesky":
             u = jax.scipy.linalg.cho_solve((self.factor, True), f)
         elif self.kind == "lu":
@@ -57,7 +60,7 @@ class CoarseSolver:
         )
         if any(p != (0, 0) for p in pads):
             u = jnp.pad(u, pads)
-        return u
+        return u.astype(f_grid.dtype)
 
 
 def build_coarse_solver(

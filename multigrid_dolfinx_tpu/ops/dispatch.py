@@ -35,6 +35,21 @@ def layout_aligned(shape: Tuple[int, ...]) -> bool:
     return shape[-2] % 8 == 0 and shape[-1] % 128 == 0
 
 
+def dtype_layout_ok(shape: Tuple[int, ...], dtype) -> bool:
+    """Tile alignment for the kernel dtype: float32 packs (8,128) tiles,
+    bfloat16 (16,128) — the second-minor dim must land on the sublane
+    count or Mosaic's masked partial tiles erase the bandwidth win.
+    bfloat16 admission exists for the mixed-precision inner V-cycle
+    (solver/mixed.py): the kernels themselves are dtype-generic."""
+    dt = jnp.dtype(dtype)
+    if dt == jnp.float32:
+        return layout_aligned(shape)
+    if dt == jnp.dtype(jnp.bfloat16):
+        return (len(shape) >= 2 and shape[-2] % 16 == 0
+                and shape[-1] % 128 == 0)
+    return False
+
+
 def const7_weights(A: StencilOperator):
     """(wc, woff) of an isotropic const-7-point operator, or None."""
     if A.offsets != POISSON7_3D_OFFSETS or A.const_weights is None:
@@ -73,7 +88,7 @@ def pallas_eligible(A: StencilOperator, shape: Tuple[int, ...], dtype) -> bool:
     """Can the fused const-stencil kernels handle this operator/layout?"""
     if not (A.is_const and A.logical_m is not None):
         return False
-    if jnp.dtype(dtype) != jnp.float32 or not layout_aligned(shape):
+    if not dtype_layout_ok(shape, dtype):
         return False
     if len(shape) == 2:
         return (

@@ -57,10 +57,21 @@ def _masks(start, shape, lm: int):
 
 
 def _roll(x, shift: int, axis: int):
-    """pltpu.roll with negative-shift support (it requires shift >= 0)."""
+    """pltpu.roll with negative-shift support (it requires shift >= 0).
+
+    Narrow dtypes (bfloat16, for the mixed-precision inner V-cycle) lower
+    via static slice+concat instead: Mosaic's tpu.dynamic_rotate is
+    32-bit-only ('Rotate with non-32-bit data')."""
     if shift < 0:
         shift += x.shape[axis]
-    return pltpu.roll(x, shift, axis)
+    if x.dtype.itemsize >= 4:
+        return pltpu.roll(x, shift, axis)
+    if shift == 0:
+        return x
+    n = x.shape[axis]
+    lead = jax.lax.slice_in_dim(x, n - shift, n, axis=axis)
+    tail = jax.lax.slice_in_dim(x, 0, n - shift, axis=axis)
+    return jax.lax.concatenate([lead, tail], dimension=axis)
 
 
 def _neighbor_sum(x):

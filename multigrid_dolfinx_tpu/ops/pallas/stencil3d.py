@@ -824,6 +824,12 @@ def _plane_restrict(g, lmf, lmc, Wc_out):
     """In-plane (y, x) part of P^T restriction of one fine z-plane
     (already interior-masked and z-combined): [1 2 1] in y with even-row
     sampling (sublane reshape), then in x via the transpose trick."""
+    if g.dtype.itemsize < 4:
+        # Mosaic's relayout ops (strided sublane reshape, transpose) are
+        # 32-bit-only; the bf16 inner cycle computes the interleave in f32
+        # and casts back (the plane is VMEM-resident, converts are cheap).
+        return _plane_restrict(
+            g.astype(jnp.float32), lmf, lmc, Wc_out).astype(g.dtype)
     Myf, Mxf = g.shape
     rows = _roll(g, 1, 0) + 2.0 * g + _roll(g, -1, 0)
     ev_rows = rows.reshape(Myf // 2, 2, Mxf)[:, 0, :]       # y = 2j
@@ -1094,6 +1100,10 @@ def restrict_residual_pt(v, f, coarse_shape: Tuple[int, int, int],
 
 def _plane_prolong(c, Mxf_out):
     """In-plane (y, x) bilinear interpolation of one coarse z-plane."""
+    if c.dtype.itemsize < 4:
+        # see _plane_restrict: interleave (stack+reshape) is 32-bit-only
+        return _plane_prolong(
+            c.astype(jnp.float32), Mxf_out).astype(c.dtype)
     Myc, Mxc = c.shape
     codd = 0.5 * (c + _roll(c, -1, 1))
     inter = jnp.stack([c.T, codd.T], axis=1).reshape(2 * Mxc, Myc)

@@ -233,7 +233,9 @@ def _fused_tail_levels(hier: Hierarchy, spec: CycleSpec, j: int):
         if w is None:
             return None
         levels.append((lv.n + 1, tuple(lv.shape), w[0], w[1]))
-    if hier.levels[j].b.dtype != jnp.float32:
+    if hier.levels[j].b.dtype not in (jnp.float32, jnp.bfloat16):
+        # bfloat16 tail serves the mixed-precision inner cycle
+        # (solver/mixed.py); the kernels are dtype-generic.
         return None
     if not tail.tail_eligible(levels):
         return None
