@@ -93,6 +93,44 @@ def error_norm(hier: Hierarchy, u: jax.Array) -> jax.Array:
     return jnp.sqrt(jnp.maximum(acc, 0.0))
 
 
+def _fused_residual_norm(hier: Hierarchy, spec: CycleSpec, v, f):
+    """The per-cycle convergence check r = f - Av, rn = sqrt(r^T M r) as
+    ONE rolling Pallas pass over (v, f) — or None off the fast path.
+
+    The plain-XLA class-table mass matvec costs ~37 ms at 512^3 (pad + 15
+    shifted slice copies + per-point table gathers), MORE than the 22 ms
+    V-cycle it guards; fused, the check is bandwidth-bound on a single
+    read of v and f (ops/pallas/stencil3d_norm.py).  Semantics identical
+    to residual_norm(compute_residual(...)): reference res_calculator,
+    multigrid.py:203-208."""
+    import os
+
+    if os.environ.get("MG_FUSED_NORM", "1") != "1":
+        return None
+    M = hier.M_fine
+    if M is None or M.class_tables is None or v.ndim != 3:
+        return None
+    if not spec.use_pallas:
+        return None
+    from ..ops import dispatch
+
+    lv = hier.finest
+    if not dispatch.pallas_eligible(lv.A, tuple(v.shape), v.dtype):
+        return None
+    w = dispatch.const7_weights(lv.A)
+    if w is None:
+        return None
+    from ..ops.pallas import stencil3d_norm
+
+    q = stencil3d_norm.residual_mass_quad(
+        v, f, M.class_tables, M.offsets, lv.n + 1, w[0], w[1],
+        interpret=dispatch.interpret_mode(),
+    )
+    if q is None:
+        return None
+    return jnp.sqrt(jnp.maximum(q, 0.0)).astype(v.dtype)
+
+
 def tolerance_solve(
     hier: Hierarchy, spec: CycleSpec, v0: jax.Array, f: jax.Array
 ) -> SolveResult:
@@ -105,20 +143,23 @@ def tolerance_solve(
     max_c = spec.max_cycles
     nan = jnp.array(jnp.nan, dtype=dtype)
 
+    def check_norm(v):
+        rn = _fused_residual_norm(hier, spec, v, f)
+        if rn is not None:
+            return rn
+        r = compute_residual(hier.finest, v, f, use_pallas=spec.use_pallas)
+        return residual_norm(hier, r)
+
     # rtol is measured against the residual of the zero iterate (i.e.
     # ||b||-ish), NOT the post-FMG starting residual — FMG already lands
     # near the discretization floor, so a further 1e-6 relative drop from
     # there would be unreachable.
-    rn_ref = residual_norm(
-        hier, compute_residual(hier.finest, jnp.zeros_like(v0), f,
-                               use_pallas=spec.use_pallas)
-    )
+    rn_ref = check_norm(jnp.zeros_like(v0))
 
     def body(carry):
         v, k, _, _, rn0, res_h, err_h = carry
         v = vcycle(hier, spec, L, v, f)
-        r = compute_residual(hier.finest, v, f, use_pallas=spec.use_pallas)
-        rn = residual_norm(hier, r)
+        rn = check_norm(v)
         en = error_norm(hier, v) if spec.track_error else nan
         res_h = res_h.at[k].set(rn)
         err_h = err_h.at[k].set(en)

@@ -743,3 +743,59 @@ def test_cycle_fusion_kernels_direct():
     assert v2 is not None
     np.testing.assert_allclose(np.asarray(v2), np.asarray(v2_ref),
                                atol=1e-6)
+
+
+def test_fused_residual_mass_norm_matches_reference(monkeypatch):
+    """The fused residual+FEM-L2-norm kernel (ops.pallas.stencil3d_norm)
+    equals quadratic_form(M, r, r) with r = compute_residual(...) on the
+    class-table mass operator, including all boundary classes, and the
+    tolerance solve stops at the same cycle count either way."""
+    from multigrid_dolfinx_tpu import models
+    from multigrid_dolfinx_tpu.config import CycleSpec
+    from multigrid_dolfinx_tpu.ops import dispatch
+    from multigrid_dolfinx_tpu.ops.operators import quadratic_form
+    from multigrid_dolfinx_tpu.ops.pallas import stencil3d_norm
+    from multigrid_dolfinx_tpu.solver import fmg
+    from multigrid_dolfinx_tpu.solver.hierarchy import build_lean_hierarchy
+    from multigrid_dolfinx_tpu.solver.vcycle import compute_residual
+
+    cyc = CycleSpec(nu1=2, nu2=2, smoother="rbgs", restriction="pt",
+                    tol=0.0, rtol=1e-6, max_cycles=40,
+                    use_pallas=True, track_error=False)
+    cfg = models.poisson3d(finest_level=3, coarsest_level=1,
+                           coarsest_elements=4, dtype="float32",
+                           cycle=cyc)
+    hier = build_lean_hierarchy(cfg)
+    lv = hier.finest
+    lm = lv.n + 1
+    rng = np.random.default_rng(11)
+
+    def boxed(x):
+        m = np.zeros(x.shape, bool)
+        m[:lm, :lm, :lm] = True
+        return jnp.asarray(np.where(m, x, 0.0), jnp.float32)
+
+    v = boxed(rng.standard_normal(lv.shape).astype(np.float32))
+    f = boxed(rng.standard_normal(lv.shape).astype(np.float32))
+    w = dispatch.const7_weights(lv.A)
+    q = stencil3d_norm.residual_mass_quad(
+        v, f, hier.M_fine.class_tables, hier.M_fine.offsets, lm,
+        w[0], w[1], interpret=True)
+    assert q is not None
+    r = compute_residual(lv, v, f, use_pallas=True)
+    q_ref = quadratic_form(hier.M_fine, r, r)
+    np.testing.assert_allclose(float(q), float(q_ref),
+                               rtol=2e-5, atol=0.0)
+
+    # end-to-end: identical iteration counts with the fused check on/off
+    f0 = hier.finest.b
+    v0 = jnp.zeros_like(f0)
+    monkeypatch.setenv("MG_FUSED_NORM", "1")
+    res_a = fmg.tolerance_solve(hier, cyc, v0, f0)
+    monkeypatch.setenv("MG_FUSED_NORM", "0")
+    res_b = fmg.tolerance_solve(hier, cyc, v0, f0)
+    assert int(res_a.num_cycles) == int(res_b.num_cycles)
+    ka = int(res_a.num_cycles)
+    np.testing.assert_allclose(
+        np.asarray(res_a.res_hist[:ka]), np.asarray(res_b.res_hist[:ka]),
+        rtol=1e-5)
