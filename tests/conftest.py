@@ -24,6 +24,21 @@ if "xla_cpu_collective_call_terminate_timeout_seconds" not in _flags:
     )
 os.environ["XLA_FLAGS"] = _flags
 
+# Isolate the suite from the repo's shared persistent compilation cache
+# (.jax_cache).  Any test that reaches enable_compilation_cache (the CLI,
+# __graft_entry__) would otherwise point THIS process at the same directory
+# a concurrently-running TPU bench is writing — and a torn/truncated entry
+# segfaults jax's cache reader (observed: Fatal Python error: Segmentation
+# fault in compilation_cache.get_executable_and_time during full-suite runs
+# alongside device work; this, not shard_map, was the remaining "random"
+# crash).  A per-run private dir keeps the cache feature exercised while
+# making concurrent corruption impossible.
+if "MG_COMPILATION_CACHE" not in os.environ:
+    import tempfile
+
+    os.environ["MG_COMPILATION_CACHE"] = tempfile.mkdtemp(
+        prefix="mg-test-jaxcache-")
+
 import jax  # noqa: E402
 
 # Force CPU via jax.config: the environment may pin JAX_PLATFORMS to a real
