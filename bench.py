@@ -30,20 +30,11 @@ import time
 
 import numpy as np
 
+from multigrid_dolfinx_tpu.mesh import factor_levels as _factor_levels
+
 
 def _flush(msg):
     print(msg, file=sys.stderr, flush=True)
-
-
-def _factor_levels(n_elems: int):
-    """(coarsest_elements, finest_level) with base * 2**finest == n —
-    supports non-power-of-two sizes like 768 = 6 * 2**7."""
-    level = 0
-    base = n_elems
-    while base % 2 == 0 and base > 8:
-        base //= 2
-        level += 1
-    return base, level
 
 
 def bench_device(ndim: int, n_elems: int, cycles: int, use_pallas: bool,

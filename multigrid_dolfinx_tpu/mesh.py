@@ -80,6 +80,19 @@ class GridLevel:
         return ~self.boundary_mask()
 
 
+def factor_levels(n_elems: int, min_coarsest: int = 8) -> tuple:
+    """Factor a finest-grid size into `(coarsest_elements, finest_level)`
+    with `coarsest_elements * 2**finest_level == n_elems`, halving while
+    even and above `min_coarsest` — supports non-power-of-two sizes like
+    768 = 6 * 2**7.  The shared sizing rule for every benchmark/demo
+    script (a CLI size N becomes a full hierarchy spec)."""
+    level, base = 0, int(n_elems)
+    while base % 2 == 0 and base > min_coarsest:
+        base //= 2
+        level += 1
+    return base, level
+
+
 def build_grid_hierarchy(spec: HierarchySpec, ndim: int = 2) -> List[GridLevel]:
     """Levels ordered coarsest -> finest, level i having
     `spec.coarsest_elements * 2**i` elements per dim

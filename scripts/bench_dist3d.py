@@ -26,25 +26,18 @@ from jax.sharding import Mesh
 
 from multigrid_dolfinx_tpu import models
 from multigrid_dolfinx_tpu.config import CycleSpec
+from multigrid_dolfinx_tpu.mesh import factor_levels
 from multigrid_dolfinx_tpu.parallel.halo3d import (
     build_halo_cycler3d,
     pick_z_shard_plan,
 )
 
 
-def _factor_levels(n_elems):
-    level, base = 0, n_elems
-    while base % 2 == 0 and base > 8:
-        base //= 2
-        level += 1
-    return base, level
-
-
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 512
 K = int(sys.argv[2]) if len(sys.argv) > 2 else 20
 NDEV = int(sys.argv[3]) if len(sys.argv) > 3 else 1
 
-base, finest = _factor_levels(N)
+base, finest = factor_levels(N)
 cyc = CycleSpec(nu1=2, nu2=2, smoother="rbgs", restriction="pt",
                 tol=0.0, rtol=1e-8, max_cycles=40, use_pallas=True,
                 track_error=False)

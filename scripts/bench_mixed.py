@@ -27,20 +27,13 @@ from multigrid_dolfinx_tpu.solver.mixed import (
 )
 from multigrid_dolfinx_tpu.solver.fmg import residual_norm
 from multigrid_dolfinx_tpu.solver.vcycle import compute_residual, vcycle
+from multigrid_dolfinx_tpu.mesh import factor_levels
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 512
 K = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
 
-def _factor_levels(n):
-    level, base = 0, n
-    while base % 2 == 0 and base > 8:
-        base //= 2
-        level += 1
-    return base, level
-
-
-base, finest = _factor_levels(N)
+base, finest = factor_levels(N)
 cyc = CycleSpec(nu1=2, nu2=2, smoother="rbgs", restriction="pt",
                 tol=0.0, rtol=1e-8, max_cycles=40, use_pallas=True,
                 track_error=False)

@@ -26,18 +26,11 @@ from multigrid_dolfinx_tpu.config import (
     CycleSpec, HierarchySpec, ProblemSpec, SolverConfig,
 )
 from multigrid_dolfinx_tpu.solver.vcycle import vcycle
+from multigrid_dolfinx_tpu.mesh import factor_levels
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 64
 K = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 NDIM = int(sys.argv[3]) if len(sys.argv) > 3 else 3
-
-
-def _factor_levels(n):
-    lvl, base = 0, n
-    while base % 2 == 0 and base > 8:
-        base //= 2
-        lvl += 1
-    return base, lvl
 
 
 def timed(hier, cyc, k):
@@ -71,7 +64,7 @@ cyc = CycleSpec(nu1=2, nu2=2, smoother="rbgs", restriction="pt",
                 track_error=False)
 
 # P2 at N elements: DOFs on the half-step lattice = (2N+1)^d.
-base2, finest2 = _factor_levels(N)
+base2, finest2 = factor_levels(N)
 rhs = -6.0 if NDIM == 2 else -12.0
 cfg_p2 = SolverConfig(
     problem=ProblemSpec(ndim=NDIM, degree=2, rhs_const=rhs),
@@ -91,7 +84,7 @@ dt_p2 = timed(hier_p2, cyc, K)
 del hier_p2
 
 # P1 at 2N elements: same DOF count.
-base1, finest1 = _factor_levels(2 * N)
+base1, finest1 = factor_levels(2 * N)
 model = models.poisson3d if NDIM == 3 else models.poisson2d
 cfg_p1 = model(finest_level=finest1, coarsest_level=max(0, finest1 - 4),
                coarsest_elements=base1, dtype="float32", cycle=cyc)

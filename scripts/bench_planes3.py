@@ -26,20 +26,13 @@ enable_compilation_cache()
 from multigrid_dolfinx_tpu import build_hierarchy, build_var_hierarchy, models
 from multigrid_dolfinx_tpu.config import CycleSpec
 from multigrid_dolfinx_tpu.solver.vcycle import vcycle
+from multigrid_dolfinx_tpu.mesh import factor_levels
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 256
 K = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
 
-def _factor_levels(n):
-    lvl, base = 0, n
-    while base % 2 == 0 and base > 8:
-        base //= 2
-        lvl += 1
-    return base, lvl
-
-
-base, finest = _factor_levels(N)
+base, finest = factor_levels(N)
 cyc = CycleSpec(nu1=2, nu2=2, smoother="rbgs", restriction="pt",
                 tol=0.0, rtol=1e-6, max_cycles=40, use_pallas=True,
                 track_error=False)

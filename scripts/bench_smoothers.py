@@ -26,20 +26,13 @@ enable_compilation_cache()
 from multigrid_dolfinx_tpu import build_lean_hierarchy, models
 from multigrid_dolfinx_tpu.config import CycleSpec
 from multigrid_dolfinx_tpu.solver.vcycle import vcycle
+from multigrid_dolfinx_tpu.mesh import factor_levels
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 512
 K = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
 
-def _factor_levels(n):
-    lvl, base = 0, n
-    while base % 2 == 0 and base > 8:
-        base //= 2
-        lvl += 1
-    return base, lvl
-
-
-base, finest = _factor_levels(N)
+base, finest = factor_levels(N)
 ndofs = (N + 1) ** 3
 out = {"metric": "vcycle_by_smoother_3d", "n": N, "ndofs": ndofs}
 

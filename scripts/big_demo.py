@@ -30,21 +30,14 @@ from multigrid_dolfinx_tpu import models
 from multigrid_dolfinx_tpu.config import CycleSpec
 from multigrid_dolfinx_tpu.solver.hierarchy import build_lean_hierarchy
 from multigrid_dolfinx_tpu.solver.vcycle import vcycle
-
-
-def _factor_levels(n_elems):
-    level, base = 0, n_elems
-    while base % 2 == 0 and base > 8:
-        base //= 2
-        level += 1
-    return base, level
+from multigrid_dolfinx_tpu.mesh import factor_levels
 
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 768
 K = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 DO_SOLVE = "--solve" in sys.argv
 
-base, finest = _factor_levels(N)
+base, finest = factor_levels(N)
 cyc = CycleSpec(nu1=2, nu2=2, smoother="rbgs", restriction="pt",
                 tol=0.0, rtol=1e-8, max_cycles=40, use_pallas=True,
                 track_error=False)

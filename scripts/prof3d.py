@@ -24,24 +24,14 @@ from multigrid_dolfinx_tpu.solver.hierarchy import build_lean_hierarchy
 from multigrid_dolfinx_tpu.solver.vcycle import vcycle
 from multigrid_dolfinx_tpu.ops.pallas import stencil3d as s3
 from multigrid_dolfinx_tpu.ops.dispatch import const7_weights
-
-def _factor_levels(n_elems):
-    """(coarsest_elements, finest_level) with base * 2**finest == n —
-    supports non-power-of-two sizes like 768 = 6 * 2**7 (same rule as
-    bench.py / big_demo.py; the previous hardcoded finest_level=6 built a
-    wrong hierarchy for any N that is not 64 * 2^k)."""
-    level, base = 0, n_elems
-    while base % 2 == 0 and base > 8:
-        base //= 2
-        level += 1
-    return base, level
+from multigrid_dolfinx_tpu.mesh import factor_levels
 
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 512
 cyc = CycleSpec(nu1=2, nu2=2, smoother="rbgs", restriction="pt",
                 tol=0.0, rtol=1e-8, max_cycles=40, use_pallas=True,
                 track_error=False)
-_base, _finest = _factor_levels(N)
+_base, _finest = factor_levels(N)
 cfg = models.poisson3d(finest_level=_finest,
                        coarsest_level=max(0, _finest - 6),
                        coarsest_elements=_base,
