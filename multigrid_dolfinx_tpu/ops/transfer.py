@@ -94,22 +94,56 @@ def restrict_pt(u_fine: jax.Array) -> jax.Array:
 
 
 def prolong_p1(u_coarse: jax.Array, diagonal: str = "right") -> jax.Array:
-    """Exact P1 nested-space embedding (2D): edge-midpoint fine nodes take
-    the mean of the coarse edge endpoints; the cell-center (odd, odd) node
-    lies on the coarse diagonal edge and averages its 2 endpoints."""
-    if u_coarse.ndim != 2:
-        raise NotImplementedError("p1 prolongation implemented for 2D")
+    """Exact P1 nested-space embedding: every fine node lies on a coarse
+    mesh EDGE (uniform/red refinement of the triangulation is nested), so
+    each takes the mean of that edge's 2 endpoints — coincident nodes
+    inject, axis-edge midpoints average the 2 axis neighbors, and the
+    diagonal classes average along the cell/face diagonal whose direction
+    matches the assembled mesh (fem.assembly.simplex_vertex_offsets).
+
+    2D: the (odd, odd) cell center sits on the triangle diagonal.
+    3D (Kuhn/Freudenthal): (1,1,0)/(1,0,1)/(0,1,1)-parity nodes sit on the
+    increasing face diagonals and the (1,1,1) node on the main cube
+    diagonal ((0,0,0)-(1,1,1) for 'right'; x-mirrored for 'left').
+    Because the spaces nest, this P makes Galerkin == rediscretized
+    coarse operators exactly (tested in test_transfers.py)."""
     c = u_coarse
     m = c.shape[0]
-    out = jnp.zeros((2 * m - 1, 2 * m - 1), dtype=c.dtype)
-    out = out.at[::2, ::2].set(c)
-    out = out.at[1::2, ::2].set(0.5 * (c[:-1, :] + c[1:, :]))
-    out = out.at[::2, 1::2].set(0.5 * (c[:, :-1] + c[:, 1:]))
+    if u_coarse.ndim == 2:
+        out = jnp.zeros((2 * m - 1, 2 * m - 1), dtype=c.dtype)
+        out = out.at[::2, ::2].set(c)
+        out = out.at[1::2, ::2].set(0.5 * (c[:-1, :] + c[1:, :]))
+        out = out.at[::2, 1::2].set(0.5 * (c[:, :-1] + c[:, 1:]))
+        if diagonal == "right":
+            center = 0.5 * (c[:-1, :-1] + c[1:, 1:])
+        else:
+            center = 0.5 * (c[1:, :-1] + c[:-1, 1:])
+        out = out.at[1::2, 1::2].set(center)
+        return out
+    if u_coarse.ndim != 3:
+        raise NotImplementedError("p1 prolongation implemented for 2D/3D")
+    out = jnp.zeros((2 * m - 1,) * 3, dtype=c.dtype)
+    out = out.at[::2, ::2, ::2].set(c)
+    # axis-edge midpoints
+    out = out.at[1::2, ::2, ::2].set(0.5 * (c[:-1, :, :] + c[1:, :, :]))
+    out = out.at[::2, 1::2, ::2].set(0.5 * (c[:, :-1, :] + c[:, 1:, :]))
+    out = out.at[::2, ::2, 1::2].set(0.5 * (c[:, :, :-1] + c[:, :, 1:]))
     if diagonal == "right":
-        center = 0.5 * (c[:-1, :-1] + c[1:, 1:])
+        # increasing face diagonals + the (0,0,0)-(1,1,1) main diagonal
+        xy = 0.5 * (c[:-1, :-1, :] + c[1:, 1:, :])
+        xz = 0.5 * (c[:-1, :, :-1] + c[1:, :, 1:])
+        yz = 0.5 * (c[:, :-1, :-1] + c[:, 1:, 1:])
+        ctr = 0.5 * (c[:-1, :-1, :-1] + c[1:, 1:, 1:])
     else:
-        center = 0.5 * (c[1:, :-1] + c[:-1, 1:])
-    out = out.at[1::2, 1::2].set(center)
+        # x-mirrored Kuhn: x-containing diagonals flip, yz is unchanged
+        xy = 0.5 * (c[1:, :-1, :] + c[:-1, 1:, :])
+        xz = 0.5 * (c[1:, :, :-1] + c[:-1, :, 1:])
+        yz = 0.5 * (c[:, :-1, :-1] + c[:, 1:, 1:])
+        ctr = 0.5 * (c[1:, :-1, :-1] + c[:-1, 1:, 1:])
+    out = out.at[1::2, 1::2, ::2].set(xy)
+    out = out.at[1::2, ::2, 1::2].set(xz)
+    out = out.at[::2, 1::2, 1::2].set(yz)
+    out = out.at[1::2, 1::2, 1::2].set(ctr)
     return out
 
 

@@ -93,3 +93,59 @@ def test_injection_matches_reference_direct_2d():
     out = np.asarray(transfer.restrict_inject(jnp.asarray(rf)))
     assert out.shape == (5, 5)
     np.testing.assert_allclose(out, rf[::2, ::2], atol=0)
+
+
+def _apply_planes(planes, offsets, u):
+    """y[p] = sum_k planes[k][p] * u[p + offsets[k]] (zero-extended)."""
+    y = np.zeros_like(u)
+    pad = np.pad(u, 1)
+    for k, off in enumerate(offsets):
+        sl = tuple(slice(1 + o, 1 + o + s) for o, s in zip(off, u.shape))
+        y += planes[k] * pad[sl]
+    return y
+
+
+@pytest.mark.parametrize("ndim", [2, 3])
+@pytest.mark.parametrize("diagonal", ["right", "left"])
+def test_p1_embedding_is_variational(ndim, diagonal):
+    """The nested-space property that defines prolong_p1: for P the exact
+    P1 embedding, a(Pu, Pw) on the fine mesh == a(u, w) on the coarse mesh
+    (same function, refined triangulation), i.e. Galerkin P^T A_f P equals
+    the rediscretized A_c exactly.  Checked matrix-free with random
+    interior-supported coarse fields, both cell-diagonal conventions —
+    this pins every edge-midpoint rule (axis, face-diagonal, main-diagonal)
+    against the assembled Kuhn/triangle stencils."""
+    from multigrid_dolfinx_tpu.config import ProblemSpec
+    from multigrid_dolfinx_tpu.fem.assembly import assemble_level
+    from multigrid_dolfinx_tpu.mesh import GridLevel
+
+    p = ProblemSpec(ndim=ndim, rhs_const=-6.0, diagonal=diagonal)
+    coarse = assemble_level(GridLevel(level=0, ndim=ndim, n=4), p,
+                            need_mass=False)
+    fine = assemble_level(GridLevel(level=1, ndim=ndim, n=8), p,
+                          need_mass=False)
+    rng = np.random.default_rng(7 + ndim)
+    inner = (slice(1, -1),) * ndim
+    for _ in range(3):
+        u = np.zeros(coarse.shape)
+        w = np.zeros(coarse.shape)
+        u[inner] = rng.standard_normal(u[inner].shape)
+        w[inner] = rng.standard_normal(w[inner].shape)
+        pu = np.asarray(transfer.prolong_p1(jnp.asarray(u), diagonal))
+        pw = np.asarray(transfer.prolong_p1(jnp.asarray(w), diagonal))
+        a_c = float(u.ravel() @ _apply_planes(
+            coarse.A_planes, coarse.offsets, w).ravel())
+        a_f = float(pu.ravel() @ _apply_planes(
+            fine.A_planes, fine.offsets, pw).ravel())
+        np.testing.assert_allclose(a_f, a_c, rtol=1e-12)
+
+
+@pytest.mark.parametrize("diagonal", ["right", "left"])
+def test_p1_embedding_exact_on_linear_fields_3d(diagonal):
+    nc = 4
+    coarse = _coords(nc, 3)
+    fine = _coords(2 * nc, 3)
+    u_c = 1.0 + coarse[0] + 2.0 * coarse[1] + 3.0 * coarse[2]
+    u_f = 1.0 + fine[0] + 2.0 * fine[1] + 3.0 * fine[2]
+    out = transfer.prolong_p1(jnp.asarray(u_c), diagonal)
+    np.testing.assert_allclose(np.asarray(out), u_f, rtol=1e-14)
