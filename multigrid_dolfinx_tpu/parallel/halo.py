@@ -194,10 +194,19 @@ def prolong_local(c, c_offsets, lmf, ax):
 def pick_shard_pad_plan(config: SolverConfig, mesh: Mesh):
     """Padded points per level such that (a) the coarsest padded size is a
     multiple of the mesh dims and (b) each finer level is exactly 2x the
-    previous — making transfers shard-local."""
+    previous — making transfers shard-local.  Kernel-path configs
+    (use_pallas f32 on a row-decomposed ('gx', 1) mesh) additionally pad
+    to TPU tiling: widths multiples of 128 (lanes) and per-shard rows
+    multiples of 16 (sublane-aligned window DMAs, stencil2d_dist)."""
     grids = build_grid_hierarchy(config.hierarchy, ndim=config.problem.ndim)
     px, py = (int(d) for d in mesh.devices.shape)
     base = max(grids[0].points_per_dim, 2)
+    # Kernel-path (stencil2d_dist) alignment — 128-lane widths, 16-row
+    # shards — is NOT forced here: it emerges at the finer levels
+    # (m0 * 2^i) and the per-level admission in build_halo_solver falls
+    # back to the jnp local ops at the small non-aligned coarse levels,
+    # where kernels would be launch-bound anyway.  Forcing an aligned
+    # coarsest size would inflate every level's padding by that ratio.
     unit = int(np.lcm(np.lcm(px, py), 2))
     m0 = ((base + unit - 1) // unit) * unit
     plan = []
@@ -232,6 +241,41 @@ def build_halo_solver(config: SolverConfig, mesh: Mesh):
     m_op = hier.M_fine
     m_offsets = m_op.offsets
 
+    # Kernel-speed dispatch (stencil2d_dist): per-shard fused Pallas
+    # kernels with ppermute'd halo strips as separate inputs — the 2D
+    # counterpart of the halo3d distributed kernel path.  Row-decomposed
+    # ('gx', 1) meshes only (full-width shards keep columns local); per-
+    # level admission is static, ineligible levels run the jnp local ops.
+    use_kern = (spec.use_pallas and py == 1
+                and config.dtype == "float32"
+                and spec.smoother in ("rbgs", "jacobi"))
+    if use_kern:
+        from ..ops import dispatch as _dispatch
+        from ..ops.pallas import stencil2d_dist as s2d
+
+        _interp = _dispatch.interpret_mode()
+
+        def _mloc(li):
+            return plan[li][0] // px
+
+        def _kern_base(li):
+            m, w = plan[li]
+            return (w % 128 == 0 and _mloc(li) % 16 == 0
+                    and _mloc(li) >= 16)
+
+        kern_sm = [_kern_base(li) for li in range(len(plan))]
+        # transfers touch both levels: the coarse width must be
+        # lane-aligned too.  Restriction windows the fine shard with
+        # 16-row strips; prolongation needs a >= 8-row coarse shard.
+        kern_rs = [li > 0 and _kern_base(li) and _mloc(li) >= 32
+                   and plan[li - 1][1] % 128 == 0
+                   for li in range(len(plan))]
+        kern_pr = [li > 0 and _kern_base(li) and _mloc(li - 1) >= 8
+                   and plan[li - 1][1] % 128 == 0
+                   for li in range(len(plan))]
+    else:
+        kern_sm = kern_rs = kern_pr = [False] * len(plan)
+
     def local_solve(levels_b, coarse_factor, m_tables):
         # levels_b: list of local RHS blocks, coarsest..finest
         def off(level_idx, shape):
@@ -255,14 +299,35 @@ def build_halo_solver(config: SolverConfig, mesh: Mesh):
             j = jax.lax.axis_index(ax[1])
             return jax.lax.dynamic_slice(ug, (i * bx, j * by), (bx, by))
 
+        def strips(x, hp):
+            """(lo, hi) halo row strips from the gx neighbors (zeros at
+            the domain edge ranks — the zero extension the masks expect)."""
+            lo = _shift(x[-hp:, :], ax[0], forward=True)
+            hi = _shift(x[:hp, :], ax[0], forward=False)
+            return lo, hi
+
         def smooth(li, v, f, n):
             o = off(li, v.shape)
             wc, woff = weights[li]
-            def body(_, vv):
-                if spec.smoother == "jacobi":
-                    return jacobi_sweep_local(vv, f, o, lms[li], ax, wc,
-                                              woff, spec.omega)
-                return rbgs_sweep_local(vv, f, o, lms[li], ax, wc, woff)
+            if kern_sm[li]:
+                flo, fhi = strips(f, s2d.HP)
+
+                def body(_, vv):
+                    vlo, vhi = strips(vv, s2d.HP)
+                    if spec.smoother == "jacobi":
+                        return s2d.jacobi_sweep_dist(
+                            vv, f, vlo, vhi, lms[li], wc, woff,
+                            spec.omega, o[0], interpret=_interp)
+                    return s2d.rb_sweep_dist(
+                        vv, f, vlo, vhi, flo, fhi, lms[li], wc, woff,
+                        o[0], interpret=_interp)
+            else:
+                def body(_, vv):
+                    if spec.smoother == "jacobi":
+                        return jacobi_sweep_local(vv, f, o, lms[li], ax,
+                                                  wc, woff, spec.omega)
+                    return rbgs_sweep_local(vv, f, o, lms[li], ax, wc,
+                                            woff)
             if n <= 2:
                 for k in range(n):
                     v = body(k, v)
@@ -275,11 +340,27 @@ def build_halo_solver(config: SolverConfig, mesh: Mesh):
             o = off(li, v.shape)
             wc, woff = weights[li]
             v = smooth(li, v, f, spec.nu1)
-            r = f - apply_const5_local(v, o, lms[li], ax, wc, woff)
-            fc = restrict_pt_local(r, o, lms[li], lms[li - 1], ax)
+            if kern_sm[li]:
+                vlo, vhi = strips(v, s2d.HP)
+                r = s2d.residual_dist(v, f, vlo, vhi, lms[li], wc, woff,
+                                      o[0], interpret=_interp)
+            else:
+                r = f - apply_const5_local(v, o, lms[li], ax, wc, woff)
+            if kern_rs[li]:
+                rlo, rhi = strips(r, s2d.HPR)
+                fc = s2d.restrict_pt_dist(
+                    r, rlo, rhi, (r.shape[0] // 2, plan[li - 1][1]),
+                    lms[li], lms[li - 1], o[0], interpret=_interp)
+            else:
+                fc = restrict_pt_local(r, o, lms[li], lms[li - 1], ax)
             vc = vcycle(li - 1, jnp.zeros_like(fc), fc)
             oc = (o[0] // 2, o[1] // 2)
-            v = v + prolong_local(vc, oc, lms[li], ax)
+            if kern_pr[li]:
+                clo, chi = strips(vc, s2d.HP)
+                v = s2d.prolong_add_dist(vc, clo, chi, v, lms[li], o[0],
+                                         interpret=_interp)
+            else:
+                v = v + prolong_local(vc, oc, lms[li], ax)
             return smooth(li, v, f, spec.nu2)
 
         def norm_l2(r):
@@ -300,7 +381,14 @@ def build_halo_solver(config: SolverConfig, mesh: Mesh):
         for li in range(1, L + 1):
             oc = (jax.lax.axis_index(ax[0]) * v.shape[0],
                   jax.lax.axis_index(ax[1]) * v.shape[1])
-            v = prolong_local(v, oc, lms[li], ax)
+            if kern_pr[li]:
+                clo, chi = strips(v, s2d.HP)
+                v = s2d.prolong_add_dist(
+                    v, clo, chi,
+                    jnp.zeros((2 * v.shape[0], plan[li][1]), v.dtype),
+                    lms[li], 2 * oc[0], interpret=_interp)
+            else:
+                v = prolong_local(v, oc, lms[li], ax)
             if li < L:
                 for _ in range(spec.mu0):
                     v = vcycle(li, v, levels_b[li])
@@ -308,8 +396,15 @@ def build_halo_solver(config: SolverConfig, mesh: Mesh):
         f = levels_b[L]
         o = off(L, v.shape)
         wc, woff = weights[L]
-        rn_ref = norm_l2(f - apply_const5_local(
-            jnp.zeros_like(v), o, lms[L], ax, wc, woff))
+
+        def fine_residual(vv):
+            if kern_sm[L]:
+                vlo, vhi = strips(vv, s2d.HP)
+                return s2d.residual_dist(vv, f, vlo, vhi, lms[L], wc,
+                                         woff, o[0], interpret=_interp)
+            return f - apply_const5_local(vv, o, lms[L], ax, wc, woff)
+
+        rn_ref = norm_l2(fine_residual(jnp.zeros_like(v)))
 
         def cond(carry):
             _, k, done = carry
@@ -318,7 +413,7 @@ def build_halo_solver(config: SolverConfig, mesh: Mesh):
         def body(carry):
             v, k, _ = carry
             v = vcycle(L, v, f)
-            rn = norm_l2(f - apply_const5_local(v, o, lms[L], ax, wc, woff))
+            rn = norm_l2(fine_residual(v))
             done = rn <= spec.tol
             if spec.rtol > 0.0:
                 done = done | (rn <= spec.rtol * rn_ref)

@@ -80,3 +80,38 @@ def test_halo_solution_hits_exact_values():
     n = cfg.hierarchy.elements_at(3)
     assert float(np.asarray(u)[n // 2, n // 2]) == pytest.approx(1.75,
                                                                  abs=1e-3)
+
+
+@requires_8_devices
+@pytest.mark.parametrize("smoother", ["rbgs", "jacobi"])
+def test_halo_kernel_path_matches_single_device(smoother):
+    """The kernel-speed 2D dist path (stencil2d_dist, use_pallas f32 on a
+    row-decomposed ('gx', 1) mesh): identical cycle counts and matching
+    solutions vs the single-device lean solve on the same padded levels.
+    The level ladder (widths 8..256) deliberately mixes kernel-eligible
+    fine levels with non-aligned coarse levels that fall back to the jnp
+    local ops, so the dispatch seam itself is exercised."""
+    cyc = CycleSpec(nu1=2, nu2=2, smoother=smoother, restriction="pt",
+                    tol=0.0, rtol=1e-6, max_cycles=40, use_pallas=True)
+    cfg = models.poisson2d(finest_level=5, coarsest_level=0,
+                           coarsest_elements=4, dtype="float32", cycle=cyc)
+    mesh = make_device_mesh(mesh_shape=(8, 1))
+    hier, solve_fn = build_halo_solver(cfg, mesh)
+    u, k, done = solve_fn(hier)
+    assert bool(done), "kernel-path halo solver did not converge"
+
+    plan = pick_shard_pad_plan(cfg, mesh)
+    h1 = build_lean_hierarchy(cfg, pad_points=plan)
+    import dataclasses
+    cyc_ref = dataclasses.replace(cyc, use_pallas=False)
+    r1 = solve(h1, cyc_ref, mode="tol")
+    assert bool(r1.converged)
+    assert int(k) == int(r1.num_cycles)
+    lm = cfg.hierarchy.elements_at(5) + 1
+    np.testing.assert_allclose(
+        np.asarray(u)[:lm, :lm], np.asarray(r1.u)[:lm, :lm],
+        rtol=2e-5, atol=2e-6,
+    )
+    # the solve actually hit the manufactured solution
+    assert float(np.asarray(u)[lm // 2, lm // 2]) == pytest.approx(
+        1.75, abs=1e-3)
