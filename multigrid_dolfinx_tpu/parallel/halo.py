@@ -334,7 +334,11 @@ def build_halo_solver(config: SolverConfig, mesh: Mesh):
                 return v
             return jax.lax.fori_loop(0, n, body, v)
 
-        def vcycle(li, v, f):
+        def vcycle(li, v, f, shape=None):
+            # V / W / F cycle shapes, matching solver.vcycle:327-337 and
+            # halo3d (W recurses twice; F runs one F-recursion then one
+            # V-cycle on the coarse problem)
+            shape = spec.cycle if shape is None else shape
             if li == 0:
                 return coarse_solve(f)
             o = off(li, v.shape)
@@ -353,7 +357,12 @@ def build_halo_solver(config: SolverConfig, mesh: Mesh):
                     lms[li], lms[li - 1], o[0], interpret=_interp)
             else:
                 fc = restrict_pt_local(r, o, lms[li], lms[li - 1], ax)
-            vc = vcycle(li - 1, jnp.zeros_like(fc), fc)
+            vc = vcycle(li - 1, jnp.zeros_like(fc), fc, shape)
+            if li - 1 > 0:
+                if shape == "W":
+                    vc = vcycle(li - 1, vc, fc, "W")
+                elif shape == "F":
+                    vc = vcycle(li - 1, vc, fc, "V")
             oc = (o[0] // 2, o[1] // 2)
             if kern_pr[li]:
                 clo, chi = strips(vc, s2d.HP)

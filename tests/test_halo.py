@@ -115,3 +115,29 @@ def test_halo_kernel_path_matches_single_device(smoother):
     # the solve actually hit the manufactured solution
     assert float(np.asarray(u)[lm // 2, lm // 2]) == pytest.approx(
         1.75, abs=1e-3)
+
+
+@requires_8_devices
+@pytest.mark.parametrize("cycle", ["W", "F"])
+def test_halo_wf_cycles_match_single_device(cycle):
+    """W- and F-cycle shapes through the 2D halo solver (the 3D halo path
+    already had them): cycle counts equal the single-device solve's."""
+    cyc = CycleSpec(nu1=1, nu2=1, smoother="rbgs", restriction="pt",
+                    cycle=cycle, tol=0.0, rtol=1e-9, max_cycles=40)
+    cfg = models.poisson2d(finest_level=4, coarsest_level=1,
+                           dtype="float64", cycle=cyc)
+    mesh = make_device_mesh(8)
+    hier, solve_fn = build_halo_solver(cfg, mesh)
+    u, k, done = solve_fn(hier)
+    assert bool(done)
+
+    plan = pick_shard_pad_plan(cfg, mesh)
+    h1 = build_lean_hierarchy(cfg, pad_points=plan)
+    r1 = solve(h1, cyc, mode="tol")
+    assert bool(r1.converged)
+    assert int(k) == int(r1.num_cycles)
+    lm = cfg.hierarchy.elements_at(4) + 1
+    np.testing.assert_allclose(
+        np.asarray(u)[:lm, :lm], np.asarray(r1.u)[:lm, :lm],
+        rtol=1e-12, atol=1e-13,
+    )
