@@ -246,9 +246,9 @@ def build_halo_solver(config: SolverConfig, mesh: Mesh):
     # counterpart of the halo3d distributed kernel path.  Row-decomposed
     # ('gx', 1) meshes only (full-width shards keep columns local); per-
     # level admission is static, ineligible levels run the jnp local ops.
+    lmaxs = [float(lv.sm.lmax) for lv in hier.levels]
     use_kern = (spec.use_pallas and py == 1
-                and config.dtype == "float32"
-                and spec.smoother in ("rbgs", "jacobi"))
+                and config.dtype == "float32")
     if use_kern:
         from ..ops import dispatch as _dispatch
         from ..ops.pallas import stencil2d_dist as s2d
@@ -306,10 +306,43 @@ def build_halo_solver(config: SolverConfig, mesh: Mesh):
             hi = _shift(x[:hp, :], ax[0], forward=False)
             return lo, hi
 
+        def residual_at(li, o, vv, f):
+            wc, woff = weights[li]
+            if kern_sm[li]:
+                vlo, vhi = strips(vv, s2d.HP)
+                return s2d.residual_dist(vv, f, vlo, vhi, lms[li], wc,
+                                         woff, o[0], interpret=_interp)
+            return f - apply_const5_local(vv, o, lms[li], ax, wc, woff)
+
         def smooth(li, v, f, n):
             o = off(li, v.shape)
             wc, woff = weights[li]
-            if kern_sm[li]:
+            if spec.smoother == "chebyshev":
+                # same polynomial recurrence as ops.smoothers.
+                # chebyshev_smooth (matvec-only), the local residual —
+                # kernel or jnp — supplying r = f - A v; dinv matches the
+                # lean operator's synthesized diagonal (halo3d.py:436-465)
+                lmax = jnp.asarray(lmaxs[li], v.dtype) * 1.05
+                lmin = lmax / 4.0
+                theta = 0.5 * (lmax + lmin)
+                delta = 0.5 * (lmax - lmin)
+                sigma = theta / delta
+                interior, _ = _masks_local(v.shape, o, lms[li])
+                dinv = jnp.where(interior, 1.0 / wc, jnp.ones((), v.dtype))
+
+                def body(_, vv):
+                    z = dinv * residual_at(li, o, vv, f)
+                    p = z / theta
+                    vv = vv + p
+                    rho_prev = 1.0 / sigma
+                    for _k in range(1, spec.cheby_degree):
+                        z = dinv * residual_at(li, o, vv, f)
+                        rho = 1.0 / (2.0 * sigma - rho_prev)
+                        p = rho * rho_prev * p + (2.0 * rho / delta) * z
+                        vv = vv + p
+                        rho_prev = rho
+                    return vv
+            elif kern_sm[li]:
                 flo, fhi = strips(f, s2d.HP)
 
                 def body(_, vv):
@@ -344,12 +377,7 @@ def build_halo_solver(config: SolverConfig, mesh: Mesh):
             o = off(li, v.shape)
             wc, woff = weights[li]
             v = smooth(li, v, f, spec.nu1)
-            if kern_sm[li]:
-                vlo, vhi = strips(v, s2d.HP)
-                r = s2d.residual_dist(v, f, vlo, vhi, lms[li], wc, woff,
-                                      o[0], interpret=_interp)
-            else:
-                r = f - apply_const5_local(v, o, lms[li], ax, wc, woff)
+            r = residual_at(li, o, v, f)
             if kern_rs[li]:
                 rlo, rhi = strips(r, s2d.HPR)
                 fc = s2d.restrict_pt_dist(
@@ -407,11 +435,7 @@ def build_halo_solver(config: SolverConfig, mesh: Mesh):
         wc, woff = weights[L]
 
         def fine_residual(vv):
-            if kern_sm[L]:
-                vlo, vhi = strips(vv, s2d.HP)
-                return s2d.residual_dist(vv, f, vlo, vhi, lms[L], wc,
-                                         woff, o[0], interpret=_interp)
-            return f - apply_const5_local(vv, o, lms[L], ax, wc, woff)
+            return residual_at(L, o, vv, f)
 
         rn_ref = norm_l2(fine_residual(jnp.zeros_like(v)))
 

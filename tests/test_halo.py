@@ -141,3 +141,29 @@ def test_halo_wf_cycles_match_single_device(cycle):
         np.asarray(u)[:lm, :lm], np.asarray(r1.u)[:lm, :lm],
         rtol=1e-12, atol=1e-13,
     )
+
+
+@requires_8_devices
+def test_halo_chebyshev_matches_single_device():
+    """Chebyshev smoothing through the 2D halo solver (the recurrence from
+    ops.smoothers.chebyshev_smooth, distributed residuals): identical
+    cycle counts vs the single-device solve on the same padded levels."""
+    cyc = CycleSpec(nu1=1, nu2=1, smoother="chebyshev", restriction="pt",
+                    tol=0.0, rtol=1e-9, max_cycles=40)
+    cfg = models.poisson2d(finest_level=4, coarsest_level=1,
+                           dtype="float64", cycle=cyc)
+    mesh = make_device_mesh(8)
+    hier, solve_fn = build_halo_solver(cfg, mesh)
+    u, k, done = solve_fn(hier)
+    assert bool(done)
+
+    plan = pick_shard_pad_plan(cfg, mesh)
+    h1 = build_lean_hierarchy(cfg, pad_points=plan)
+    r1 = solve(h1, cyc, mode="tol")
+    assert bool(r1.converged)
+    assert int(k) == int(r1.num_cycles)
+    lm = cfg.hierarchy.elements_at(4) + 1
+    np.testing.assert_allclose(
+        np.asarray(u)[:lm, :lm], np.asarray(r1.u)[:lm, :lm],
+        rtol=1e-11, atol=1e-12,
+    )
