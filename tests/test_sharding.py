@@ -86,3 +86,29 @@ def test_sharded_3d_solve():
     np.testing.assert_allclose(
         np.asarray(got.u)[:mf, :mf, :mf], np.asarray(ref.u), rtol=1e-11, atol=1e-12
     )
+
+
+def test_sharded_mgcg_matches_single_device():
+    """MG-preconditioned CG on a GSPMD-sharded hierarchy: the CG dot
+    products become psums via the SPMD partitioner, and iteration counts
+    match the single-device solve (SURVEY §2c distributed-reductions
+    requirement; the sharded counterpart of PETSc KSP under MPI)."""
+    from multigrid_dolfinx_tpu.solver.krylov import solve_mgcg
+
+    cyc = CycleSpec(nu1=2, nu2=2, smoother="rbgs", restriction="pt",
+                    tol=1e-10, max_cycles=20)
+    cfg = models.poisson2d(finest_level=4, coarsest_level=1,
+                           dtype="float64", cycle=cyc)
+    h1 = build_hierarchy(cfg)
+    r1 = solve_mgcg(h1, cyc)
+    assert bool(r1.converged)
+
+    mesh = make_device_mesh(8)
+    hs = build_sharded_hierarchy(cfg, mesh, ShardingSpec(min_points_per_device=4))
+    rs = solve_mgcg(hs, cyc)
+    assert bool(rs.converged)
+    assert int(rs.num_iters) == int(r1.num_iters)
+    mf = cfg.hierarchy.elements_at(4) + 1
+    np.testing.assert_allclose(
+        np.asarray(rs.u)[:mf, :mf], np.asarray(r1.u)[:mf, :mf],
+        rtol=1e-11, atol=1e-12)
