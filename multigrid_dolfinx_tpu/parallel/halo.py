@@ -217,7 +217,18 @@ def pick_shard_pad_plan(config: SolverConfig, mesh: Mesh):
     return plan
 
 
-def build_halo_solver(config: SolverConfig, mesh: Mesh):
+def build_halo_cycler(config: SolverConfig, mesh: Mesh, cycles: int):
+    """Returns (hierarchy, cycle_fn): cycle_fn(hier) runs `cycles`
+    finest-level V-cycles of the distributed 2D solver from a zero guess
+    (no norms, no FMG) — the benchmarking entry matching bench.py's
+    k_cycles loop, so the distributed per-V-cycle time is directly
+    comparable to the single-chip 2D number (cf. halo3d.
+    build_halo_cycler3d)."""
+    return build_halo_solver(config, mesh, bench_cycles=cycles)
+
+
+def build_halo_solver(config: SolverConfig, mesh: Mesh,
+                      bench_cycles=None):
     """Returns (hierarchy, solve_fn) where solve_fn(hier) runs the fully
     explicit shard_map V-cycle solve (FMG start + tolerance loop) and
     returns (u_global, num_cycles, converged).
@@ -276,7 +287,7 @@ def build_halo_solver(config: SolverConfig, mesh: Mesh):
     else:
         kern_sm = kern_rs = kern_pr = [False] * len(plan)
 
-    def local_solve(levels_b, coarse_factor, m_tables):
+    def local_solve(levels_b, coarse_factor, m_tables, v0=None):
         # levels_b: list of local RHS blocks, coarsest..finest
         def off(level_idx, shape):
             ix = jax.lax.axis_index(ax[0]) * shape[0]
@@ -412,8 +423,16 @@ def build_halo_solver(config: SolverConfig, mesh: Mesh):
             s = jax.lax.psum(s, ax[1])
             return jnp.sqrt(jnp.maximum(s, 0.0))
 
-        # FMG start
         L = len(levels_b) - 1
+        if bench_cycles is not None:
+            # benchmarking entry: K norm-free V-cycles from the given
+            # guess (per-rep distinct inputs defeat remote-exec caching)
+            fL = levels_b[L]
+            return jax.lax.fori_loop(
+                0, bench_cycles,
+                lambda i, vv: vcycle(L, vv, fL), v0)
+
+        # FMG start
         v = coarse_solve(levels_b[0])
         for li in range(1, L + 1):
             oc = (jax.lax.axis_index(ax[0]) * v.shape[0],
@@ -460,24 +479,37 @@ def build_halo_solver(config: SolverConfig, mesh: Mesh):
     if spec.coarse_solver not in ("cholesky", "inverse"):
         raise NotImplementedError("halo path: cholesky/inverse coarse solve")
     bspecs = [P(ax[0], ax[1])] * hier.num_levels
+    if bench_cycles is not None:
+        ins = (bspecs, P(), P(), P(ax[0], ax[1]))
+        outs = P(ax[0], ax[1])
+    else:
+        ins = (bspecs, P(), P())
+        outs = (P(ax[0], ax[1]), P(), P())
     try:
         fn = shard_map(
             local_solve,
             mesh=mesh,
-            in_specs=(bspecs, P(), P()),
-            out_specs=(P(ax[0], ax[1]), P(), P()),
+            in_specs=ins,
+            out_specs=outs,
             check_vma=False,
         )
     except TypeError:
         fn = shard_map(
             local_solve,
             mesh=mesh,
-            in_specs=(bspecs, P(), P()),
-            out_specs=(P(ax[0], ax[1]), P(), P()),
+            in_specs=ins,
+            out_specs=outs,
             check_rep=False,
         )
 
     tables = jnp.asarray(m_op.class_tables)
+
+    if bench_cycles is not None:
+        def cycle_fn(h: Hierarchy, v0):
+            bs = [lv.b for lv in h.levels]
+            return fn(bs, h.coarse.factor, tables, v0)
+
+        return hier, jax.jit(cycle_fn)
 
     def solve_fn(h: Hierarchy):
         bs = [lv.b for lv in h.levels]
