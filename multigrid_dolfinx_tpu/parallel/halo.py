@@ -143,6 +143,27 @@ def restrict_pt_local(r, f_offsets, lmf, lmc, ax):
     return jnp.where(interior_c, coarse, jnp.zeros_like(coarse))
 
 
+def restrict_inject_local(r):
+    """Shard-local injection (reference Restriction2D_direct,
+    multigrid.py:123-132): coarse value = fine value at the coincident
+    node.  Shards are aligned 2x blocks and row/col 0 of every shard is
+    globally even, so this is a plain stride-2 slice — no halo, no masks
+    (the reference carries the bc residual through)."""
+    return r[::2, ::2]
+
+
+def restrict_fw_local(r, ax):
+    """Shard-local full weighting with the reference's boundary
+    convention (multigrid.py:135-198): [1 2 1]^2/16 everywhere, missing
+    neighbors contribute zero (halo_pad2d's zero edge extension IS that
+    convention at the domain boundary), bc residual carried through —
+    exactly transfer.restrict_full_weighting, distributed."""
+    up = halo_pad2d(r, ax)
+    rows = up[:-2, :] + 2.0 * up[1:-1, :] + up[2:, :]
+    full = rows[:, :-2] + 2.0 * rows[:, 1:-1] + rows[:, 2:]
+    return full[::2, ::2] * (1.0 / 16.0)
+
+
 def mass_quad_local2(r, off, lm, tables, offsets, ax):
     """Local partial of r^T M r with the boundary-class-table consistent
     mass operator (zero stored bytes; classes from global coords) — the
@@ -237,6 +258,11 @@ def build_halo_solver(config: SolverConfig, mesh: Mesh,
     if config.problem.ndim != 2:
         raise NotImplementedError("halo path currently covers 2D")
     spec = config.cycle
+    if spec.prolongation != "bilinear":
+        raise NotImplementedError("halo path: bilinear prolongation")
+    if spec.restriction not in ("pt", "injection", "full_weighting"):
+        raise NotImplementedError(
+            f"halo path: restriction {spec.restriction!r}")
     plan = pick_shard_pad_plan(config, mesh)
     hier = build_lean_hierarchy(config, pad_points=plan)
     ax = tuple(mesh.axis_names)
@@ -389,7 +415,11 @@ def build_halo_solver(config: SolverConfig, mesh: Mesh,
             wc, woff = weights[li]
             v = smooth(li, v, f, spec.nu1)
             r = residual_at(li, o, v, f)
-            if kern_rs[li]:
+            if spec.restriction == "injection":
+                fc = restrict_inject_local(r)
+            elif spec.restriction == "full_weighting":
+                fc = restrict_fw_local(r, ax)
+            elif kern_rs[li]:
                 rlo, rhi = strips(r, s2d.HPR)
                 fc = s2d.restrict_pt_dist(
                     r, rlo, rhi, (r.shape[0] // 2, plan[li - 1][1]),

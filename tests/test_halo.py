@@ -167,3 +167,58 @@ def test_halo_chebyshev_matches_single_device():
         np.asarray(u)[:lm, :lm], np.asarray(r1.u)[:lm, :lm],
         rtol=1e-11, atol=1e-12,
     )
+
+
+@requires_8_devices
+def test_halo_reference_parity_config():
+    """THE reference configuration (Multigrid_prototype.py:35-46: 3
+    levels, 64^2 finest, FMG mu0=2 + V(50,50) jacobi omega=2/3, injection
+    restriction, tol 1e-11 on the FEM-L2 residual), solved DISTRIBUTED
+    over 8 devices: same 63-cycle count and solution as the single-device
+    solve — i.e. the reference's exact semantics survive domain
+    decomposition (injection/full-weighting restriction now distributed
+    too, carrying the bc residual through like the reference)."""
+    from multigrid_dolfinx_tpu.config import reference_parity_config
+
+    cfg = reference_parity_config()
+    mesh = make_device_mesh(8)
+    hier, solve_fn = build_halo_solver(cfg, mesh)
+    u, k, done = solve_fn(hier)
+    assert bool(done)
+
+    plan = pick_shard_pad_plan(cfg, mesh)
+    h1 = build_lean_hierarchy(cfg, pad_points=plan)
+    r1 = solve(h1, cfg.cycle, mode="tol")
+    assert bool(r1.converged)
+    assert int(k) == int(r1.num_cycles) == 63
+    lm = cfg.hierarchy.elements_at(cfg.hierarchy.finest_level) + 1
+    np.testing.assert_allclose(
+        np.asarray(u)[:lm, :lm], np.asarray(r1.u)[:lm, :lm],
+        rtol=1e-12, atol=1e-13,
+    )
+
+
+@requires_8_devices
+def test_halo_full_weighting_matches_single_device():
+    """Full-weighting restriction distributed == single-device after a
+    fixed cycle count.  (FW + bilinear is the reference's non-variational
+    dead-code pair — its 4x under-scaled coarse correction converges too
+    slowly for a tolerance test, single-device included; equivalence is
+    the meaningful property.)"""
+    cyc = CycleSpec(nu1=2, nu2=2, smoother="rbgs",
+                    restriction="full_weighting",
+                    tol=0.0, rtol=0.0, max_cycles=5)
+    cfg = models.poisson2d(finest_level=4, coarsest_level=1,
+                           dtype="float64", cycle=cyc)
+    mesh = make_device_mesh(8)
+    hier, solve_fn = build_halo_solver(cfg, mesh)
+    u, k, done = solve_fn(hier)
+    plan = pick_shard_pad_plan(cfg, mesh)
+    h1 = build_lean_hierarchy(cfg, pad_points=plan)
+    r1 = solve(h1, cyc, mode="tol")
+    assert int(k) == int(r1.num_cycles) == 5
+    lm = cfg.hierarchy.elements_at(4) + 1
+    np.testing.assert_allclose(
+        np.asarray(u)[:lm, :lm], np.asarray(r1.u)[:lm, :lm],
+        rtol=1e-12, atol=1e-13,
+    )
