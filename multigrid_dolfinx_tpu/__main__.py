@@ -111,17 +111,28 @@ def cmd_solve(args) -> int:
     enable_compilation_cache()
     cfg = _build_config(args)
     t0 = time.perf_counter()
-    if args.shard == "halo3d":
-        # full explicit distributed 3D V-cycle (z-decomposition)
+    if args.shard in ("halo3d", "halo2d"):
+        # full explicit distributed V-cycle: z-decomposition in 3D,
+        # row decomposition in 2D (the latter runs the stencil2d_dist
+        # halo-strip kernels when --pallas and f32)
         import numpy as _np
         import jax as _jax
         from jax.sharding import Mesh
 
-        from .parallel.halo3d import build_halo_solver3d
-
         ndev = args.shard_devices or len(_jax.devices())
-        mesh = Mesh(_np.array(_jax.devices()[:ndev]), ("gz",))
-        hier, dist_solve = build_halo_solver3d(cfg, mesh)
+        if args.shard == "halo3d":
+            from .parallel.halo3d import build_halo_solver3d
+
+            mesh = Mesh(_np.array(_jax.devices()[:ndev]), ("gz",))
+            hier, dist_solve = build_halo_solver3d(cfg, mesh)
+        else:
+            from .parallel.halo import build_halo_solver
+
+            mesh = Mesh(
+                _np.array(_jax.devices()[:ndev]).reshape(ndev, 1),
+                ("gx", "gy"),
+            )
+            hier, dist_solve = build_halo_solver(cfg, mesh)
         t_build = time.perf_counter() - t0
         t0 = time.perf_counter()
         u, k_dev, done = dist_solve(hier)
@@ -270,7 +281,7 @@ def main(argv=None) -> int:
                          "P1 only; keeps FEM-L2 residual and error norms "
                          "via class-table mass + on-the-fly u*)")
     ps.add_argument("--shard", default="none",
-                    choices=("none", "gspmd", "halo3d"),
+                    choices=("none", "gspmd", "halo2d", "halo3d"),
                     help="multi-chip path: GSPMD block sharding or the "
                          "explicit z-decomposed 3D V-cycle")
     ps.add_argument("--shard-devices", type=int, default=0,
