@@ -152,3 +152,27 @@ def test_phase_timer():
     assert s["setup"]["calls"] == 2
     assert s["setup"]["seconds"] >= 0.0
     assert t.dofs_per_second("setup", 100) > 0
+
+
+def test_cli_shard_halo2d(tmp_path):
+    """--shard halo2d: the explicit row-decomposed 2D distributed solve
+    from the command line (4 virtual CPU devices)."""
+    import os
+
+    cmd = [
+        sys.executable, "-m", "multigrid_dolfinx_tpu", "solve",
+        "--ndim", "2", "--finest-level", "3", "--coarsest-level", "1",
+        "--nu", "2", "--smoother", "rbgs", "--restriction", "pt",
+        "--rtol", "1e-8", "--dtype", "float64", "--platform", "cpu",
+        "--shard", "halo2d", "--shard-devices", "4",
+    ]
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        .replace("--xla_force_host_platform_device_count=8",
+                                 "--xla_force_host_platform_device_count=4"))
+    out = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                         cwd=str(Path(__file__).parent.parent), timeout=900)
+    assert out.returncode == 0, out.stderr[-2000:]
+    payload = json.loads(out.stdout.strip().splitlines()[-1])
+    assert payload["converged"] is True
+    assert payload["devices"] == 4
