@@ -364,8 +364,11 @@ def _build_halo3d(config: SolverConfig, mesh: Mesh,
     if spec.smoother not in ("rbgs", "jacobi", "chebyshev"):
         raise NotImplementedError(
             "3D halo path: rbgs/jacobi/chebyshev smoothing")
-    if spec.restriction != "pt" or spec.prolongation != "bilinear":
-        raise NotImplementedError("3D halo path: pt/bilinear transfers")
+    if spec.restriction not in ("pt", "injection", "full_weighting"):
+        raise NotImplementedError(
+            f"3D halo path: restriction {spec.restriction!r}")
+    if spec.prolongation != "bilinear":
+        raise NotImplementedError("3D halo path: bilinear prolongation")
     if spec.coarse_solver not in ("cholesky", "inverse"):
         raise NotImplementedError("3D halo path: cholesky/inverse coarse")
 
@@ -577,6 +580,47 @@ def _build_halo3d(config: SolverConfig, mesh: Mesh,
                 return jnp.pad(full, ((0, Z - m), (0, Y - m), (0, X - m)))
             return full
 
+        def _fit(arr, tgt):
+            """Slice/zero-pad each axis to the target storage shape (the
+            stride-2 subsample of a padded fine slab can be smaller or
+            larger than the coarse level's own padded storage; values in
+            the adjusted region are zeros either way)."""
+            sl = tuple(slice(0, min(a, t)) for a, t in zip(arr.shape, tgt))
+            arr = arr[sl]
+            pad = tuple((0, t - a) for a, t in zip(arr.shape, tgt))
+            return jnp.pad(arr, pad) if any(p[1] for p in pad) else arr
+
+        def restrict_ref_kind(li, r):
+            """Reference-parity restriction kinds (injection / full
+            weighting): bc residual carried through, no interior masks —
+            mixed freely with kernel smoothing/prolongation (they are
+            independent ops)."""
+            if li - 1 >= s:
+                tgt = (mz_per[li - 1],) + tuple(plan[li - 1][1:])
+            elif use_kernels:
+                # replicated levels carry aligned (tile-padded) storage
+                tgt = tuple(plan[li - 1])
+            else:
+                tgt = (lms[li - 1],) * 3
+            if spec.restriction == "injection":
+                if li - 1 >= s:
+                    return _fit(r[::2, ::2, ::2], tgt)
+                rf = gather_full(r, li) if li >= s else r
+                m = lms[li]
+                return _fit(rf[:m:2, :m:2, :m:2], tgt)
+            # full weighting: [1,2,1]^3/64 everywhere, zero extension at
+            # the domain edge (the reference's boundary convention)
+            if li - 1 >= s:
+                up = ext_for(li)(r)
+                a = up[:-2] + 2.0 * up[1:-1] + up[2:]
+                b = a[:, :-2] + 2.0 * a[:, 1:-1] + a[:, 2:]
+                full = b[:, :, :-2] + 2.0 * b[:, :, 1:-1] + b[:, :, 2:]
+                return _fit(full[::2, ::2, ::2] * (1.0 / 64.0), tgt)
+            rf = gather_full(r, li) if li >= s else r
+            m = lms[li]
+            fc = xfer.restrict(rf[:m, :m, :m], "full_weighting")
+            return _fit(fc, tgt)
+
         def vcycle(li, v, f, shape=None):
             # V / W / F shapes, matching solver.vcycle:225-237 (W recurses
             # twice; F runs one F-recursion then one V-cycle)
@@ -584,7 +628,9 @@ def _build_halo3d(config: SolverConfig, mesh: Mesh,
             if li == 0:
                 return coarse_solve(f)
             v = smooth(li, v, f, spec.nu1)
-            if use_kernels and li >= s:
+            if spec.restriction != "pt":
+                fc = restrict_ref_kind(li, residual(li, v, f))
+            elif use_kernels and li >= s:
                 # fused (f - A v) -> P^T restriction in one kernel pass
                 from ..ops.pallas import stencil3d_dist as sd3
 

@@ -140,3 +140,34 @@ def test_distributed_vcycle_solution_accuracy():
     m = cfg.hierarchy.elements_at(cfg.hierarchy.finest_level) + 1
     ud = np.asarray(u)
     assert abs(ud[m // 2, m // 2, m // 2] - 2.5) < 5e-3
+
+
+@requires_8_devices
+@pytest.mark.parametrize("kind", ["injection", "full_weighting"])
+def test_halo3d_reference_restriction_kinds(kind):
+    """Injection / full-weighting restriction (the reference-parity kinds,
+    bc residual carried through) distributed under z-decomposition ==
+    single-device, at a fixed cycle count (the non-variational pairs
+    converge too slowly for a tolerance test — FW's coarse correction is
+    8x under-scaled in 3D)."""
+    from multigrid_dolfinx_tpu import models, solve
+    from multigrid_dolfinx_tpu.config import CycleSpec
+    from multigrid_dolfinx_tpu.parallel.halo3d import build_halo_solver3d
+    from multigrid_dolfinx_tpu.solver.hierarchy import build_lean_hierarchy
+
+    cyc = CycleSpec(nu1=2, nu2=2, smoother="rbgs", restriction=kind,
+                    tol=0.0, rtol=0.0, max_cycles=4)
+    cfg = models.poisson3d(finest_level=3, coarsest_level=1,
+                           coarsest_elements=4, dtype="float64", cycle=cyc)
+    mesh = Mesh(np.array(jax.devices()), ("gz",))
+    hier, solve_fn = build_halo_solver3d(cfg, mesh)
+    u, k, done = solve_fn(hier)
+
+    h1 = build_lean_hierarchy(cfg)
+    r1 = solve(h1, cyc, mode="tol")
+    assert int(k) == int(r1.num_cycles) == 4
+    lm = cfg.hierarchy.elements_at(3) + 1
+    np.testing.assert_allclose(
+        np.asarray(u)[:lm, :lm, :lm], np.asarray(r1.u)[:lm, :lm, :lm],
+        rtol=1e-11, atol=1e-12,
+    )
