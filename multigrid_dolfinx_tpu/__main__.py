@@ -135,7 +135,7 @@ def cmd_solve(args) -> int:
             hier, dist_solve = build_halo_solver(cfg, mesh)
         t_build = time.perf_counter() - t0
         t0 = time.perf_counter()
-        u, k_dev, done = dist_solve(hier)
+        u, k_dev, done, hist_dev = dist_solve(hier)
         np.asarray(u)
         t_solve = time.perf_counter() - t0
         k = int(k_dev)

@@ -489,22 +489,28 @@ def build_halo_solver(config: SolverConfig, mesh: Mesh,
         rn_ref = norm_l2(fine_residual(jnp.zeros_like(v)))
 
         def cond(carry):
-            _, k, done = carry
+            _, k, done, _ = carry
             return (~done) & (k < spec.max_cycles)
 
         def body(carry):
-            v, k, _ = carry
+            v, k, _, hist = carry
             v = vcycle(L, v, f)
             rn = norm_l2(fine_residual(v))
+            hist = hist.at[k].set(rn)
             done = rn <= spec.tol
             if spec.rtol > 0.0:
                 done = done | (rn <= spec.rtol * rn_ref)
-            return (v, k + 1, done)
+            return (v, k + 1, done, hist)
 
-        v, k, done = jax.lax.while_loop(
-            cond, body, (v, jnp.array(0, jnp.int32), jnp.array(False))
+        # per-cycle FEM-L2 residual history, NaN-padded past num_cycles —
+        # the reference's residual_per_V_cycle_finest telemetry
+        # (multigrid.py:292-295), distributed
+        hist0 = jnp.full((spec.max_cycles,), jnp.nan, v.dtype)
+        v, k, done, hist = jax.lax.while_loop(
+            cond, body,
+            (v, jnp.array(0, jnp.int32), jnp.array(False), hist0),
         )
-        return v, k, done
+        return v, k, done, hist
 
     if spec.coarse_solver not in ("cholesky", "inverse"):
         raise NotImplementedError("halo path: cholesky/inverse coarse solve")
@@ -514,7 +520,7 @@ def build_halo_solver(config: SolverConfig, mesh: Mesh,
         outs = P(ax[0], ax[1])
     else:
         ins = (bspecs, P(), P())
-        outs = (P(ax[0], ax[1]), P(), P())
+        outs = (P(ax[0], ax[1]), P(), P(), P())
     try:
         fn = shard_map(
             local_solve,

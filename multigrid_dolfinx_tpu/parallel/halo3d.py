@@ -727,22 +727,28 @@ def _build_halo3d(config: SolverConfig, mesh: Mesh,
         rn_ref = res_norm(residual(L, jnp.zeros_like(v), f))
 
         def cond(carry):
-            _, k, done = carry
+            _, k, done, _ = carry
             return (~done) & (k < spec.max_cycles)
 
         def body(carry):
-            v, k, _ = carry
+            v, k, _, hist = carry
             v = vcycle(L, v, f)
             rn = res_norm(residual(L, v, f))
+            hist = hist.at[k].set(rn)
             done = rn <= spec.tol
             if spec.rtol > 0.0:
                 done = done | (rn <= spec.rtol * rn_ref)
-            return (v, k + 1, done)
+            return (v, k + 1, done, hist)
 
-        v, k, done = jax.lax.while_loop(
-            cond, body, (v, jnp.array(0, jnp.int32), jnp.array(False))
+        # per-cycle FEM-L2 residual history, NaN-padded past num_cycles —
+        # the reference's residual_per_V_cycle_finest telemetry
+        # (multigrid.py:292-295), distributed
+        hist0 = jnp.full((spec.max_cycles,), jnp.nan, v.dtype)
+        v, k, done, hist = jax.lax.while_loop(
+            cond, body,
+            (v, jnp.array(0, jnp.int32), jnp.array(False), hist0),
         )
-        return v, k, done
+        return v, k, done, hist
 
     def local_cycles(bs, coarse_factor, m_tables, v0):
         # bench entry: `bench_cycles` chained finest-level V-cycles, no
@@ -756,7 +762,7 @@ def _build_halo3d(config: SolverConfig, mesh: Mesh,
     kwargs = dict(
         mesh=mesh,
         in_specs=(bspecs, P(), P()),
-        out_specs=(P(ax), P(), P()),
+        out_specs=(P(ax), P(), P(), P()),
     )
     try:
         fn = shard_map(local_solve, check_vma=False, **kwargs)

@@ -106,7 +106,7 @@ def _child_main() -> None:
     cfg = models.poisson3d(finest_level=2, coarsest_level=1,
                            coarsest_elements=4, dtype="float64", cycle=cyc)
     hier, solve_fn = build_halo_solver3d(cfg, mesh)
-    u, k, done = solve_fn(hier)
+    u, k, done, _ = solve_fn(hier)
 
     m = cfg.hierarchy.elements_at(cfg.hierarchy.finest_level) + 1
     center = jax.jit(lambda x: x[m // 2, m // 2, m // 2])(u)

@@ -29,7 +29,7 @@ def test_halo_solver_matches_single_device(smoother):
                            dtype="float64", cycle=cyc)
     mesh = make_device_mesh(8)
     hier, solve_fn = build_halo_solver(cfg, mesh)
-    u, k, done = solve_fn(hier)
+    u, k, done, hist = solve_fn(hier)
     assert bool(done), "halo solver did not converge"
 
     plan = pick_shard_pad_plan(cfg, mesh)
@@ -57,7 +57,7 @@ def test_halo_solver_absolute_tol_matches_single_device():
                            dtype="float64", cycle=cyc)
     mesh = make_device_mesh(8)
     hier, solve_fn = build_halo_solver(cfg, mesh)
-    u, k, done = solve_fn(hier)
+    u, k, done, hist = solve_fn(hier)
     assert bool(done)
 
     plan = pick_shard_pad_plan(cfg, mesh)
@@ -76,7 +76,7 @@ def test_halo_solution_hits_exact_values():
                            dtype="float64", cycle=cyc)
     mesh = make_device_mesh(mesh_shape=(2, 2))
     hier, solve_fn = build_halo_solver(cfg, mesh)
-    u, k, done = solve_fn(hier)
+    u, k, done, hist = solve_fn(hier)
     n = cfg.hierarchy.elements_at(3)
     assert float(np.asarray(u)[n // 2, n // 2]) == pytest.approx(1.75,
                                                                  abs=1e-3)
@@ -97,7 +97,7 @@ def test_halo_kernel_path_matches_single_device(smoother):
                            coarsest_elements=4, dtype="float32", cycle=cyc)
     mesh = make_device_mesh(mesh_shape=(8, 1))
     hier, solve_fn = build_halo_solver(cfg, mesh)
-    u, k, done = solve_fn(hier)
+    u, k, done, hist = solve_fn(hier)
     assert bool(done), "kernel-path halo solver did not converge"
 
     plan = pick_shard_pad_plan(cfg, mesh)
@@ -128,7 +128,7 @@ def test_halo_wf_cycles_match_single_device(cycle):
                            dtype="float64", cycle=cyc)
     mesh = make_device_mesh(8)
     hier, solve_fn = build_halo_solver(cfg, mesh)
-    u, k, done = solve_fn(hier)
+    u, k, done, hist = solve_fn(hier)
     assert bool(done)
 
     plan = pick_shard_pad_plan(cfg, mesh)
@@ -154,7 +154,7 @@ def test_halo_chebyshev_matches_single_device():
                            dtype="float64", cycle=cyc)
     mesh = make_device_mesh(8)
     hier, solve_fn = build_halo_solver(cfg, mesh)
-    u, k, done = solve_fn(hier)
+    u, k, done, hist = solve_fn(hier)
     assert bool(done)
 
     plan = pick_shard_pad_plan(cfg, mesh)
@@ -183,7 +183,7 @@ def test_halo_reference_parity_config():
     cfg = reference_parity_config()
     mesh = make_device_mesh(8)
     hier, solve_fn = build_halo_solver(cfg, mesh)
-    u, k, done = solve_fn(hier)
+    u, k, done, hist = solve_fn(hier)
     assert bool(done)
 
     plan = pick_shard_pad_plan(cfg, mesh)
@@ -195,6 +195,12 @@ def test_halo_reference_parity_config():
     np.testing.assert_allclose(
         np.asarray(u)[:lm, :lm], np.asarray(r1.u)[:lm, :lm],
         rtol=1e-12, atol=1e-13,
+    )
+    # the distributed per-cycle FEM-L2 residual history (reference
+    # telemetry, multigrid.py:292-295) matches the single-device one
+    np.testing.assert_allclose(
+        np.asarray(hist)[:63], np.asarray(r1.res_hist)[:63],
+        rtol=1e-9, atol=1e-13,
     )
 
 
@@ -212,7 +218,7 @@ def test_halo_full_weighting_matches_single_device():
                            dtype="float64", cycle=cyc)
     mesh = make_device_mesh(8)
     hier, solve_fn = build_halo_solver(cfg, mesh)
-    u, k, done = solve_fn(hier)
+    u, k, done, hist = solve_fn(hier)
     plan = pick_shard_pad_plan(cfg, mesh)
     h1 = build_lean_hierarchy(cfg, pad_points=plan)
     r1 = solve(h1, cyc, mode="tol")

@@ -110,7 +110,7 @@ def test_distributed_vcycle_solve_matches_single_device(smoother, dtype,
 
     mesh = Mesh(np.array(jax.devices()[:8]), ("gz",))
     hier, solve_fn = build_halo_solver3d(cfg, mesh)
-    u, k, done = solve_fn(hier)
+    u, k, done, hist = solve_fn(hier)
 
     assert bool(done)
     assert int(k) == int(r1.num_cycles)
@@ -135,7 +135,7 @@ def test_distributed_vcycle_solution_accuracy():
                            coarsest_elements=8, dtype="float32", cycle=cyc)
     mesh = Mesh(np.array(jax.devices()[:8]), ("gz",))
     hier, solve_fn = build_halo_solver3d(cfg, mesh)
-    u, k, done = solve_fn(hier)
+    u, k, done, hist = solve_fn(hier)
     assert bool(done)
     m = cfg.hierarchy.elements_at(cfg.hierarchy.finest_level) + 1
     ud = np.asarray(u)
@@ -161,7 +161,7 @@ def test_halo3d_reference_restriction_kinds(kind):
                            coarsest_elements=4, dtype="float64", cycle=cyc)
     mesh = Mesh(np.array(jax.devices()), ("gz",))
     hier, solve_fn = build_halo_solver3d(cfg, mesh)
-    u, k, done = solve_fn(hier)
+    u, k, done, hist = solve_fn(hier)
 
     h1 = build_lean_hierarchy(cfg)
     r1 = solve(h1, cyc, mode="tol")
