@@ -177,7 +177,17 @@ def _norm_kernel(zb_ref, t_ref, v_hbm, f_hbm, out_ref, vwin, fwin,
                         sh = _roll(sh, -dx, 1)
                     acc = acc + (2.0 * w_pair[k]) * sh
                 partial = partial + jnp.sum(rz * acc, dtype=jnp.float32)
-            out_ref[0, 0] = partial
+            # Accumulate into the single SMEM scalar (constant-index
+            # output block lives across the sequential TPU grid).  A
+            # per-program (i, 0) blocked output is rejected by Mosaic:
+            # SMEM output blocks must equal the array dims.
+            @pl.when(i == 0)
+            def _():
+                out_ref[0, 0] = partial
+
+            @pl.when(i > 0)
+            def _():
+                out_ref[0, 0] = out_ref[0, 0] + partial
 
 
 def _pick_tz_norm(Mz, My, Mx, itemsize: int = 4) -> int:
@@ -333,9 +343,8 @@ def residual_mass_quad(v, f, tables, offsets, lm, wc, woff,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, 1), lambda i: (i, 0),
-                               memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((nblocks, 1), jnp.float32),
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((ws, My, Mx), v.dtype),
             pltpu.VMEM((ws, My, Mx), v.dtype),
@@ -349,7 +358,7 @@ def residual_mass_quad(v, f, tables, offsets, lm, wc, woff,
         ),
         interpret=interpret,
     )(zb, t32.reshape(len(offsets), 27), v, f)
-    q_int = jnp.sum(parts)
+    q_int = parts[0, 0]
     q_shell = _shell_delta_quad(v, f, t32, offsets, lm,
                                 jnp.float32(wc), jnp.float32(woff))
     return q_int + q_shell
