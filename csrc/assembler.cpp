@@ -189,9 +189,12 @@ void assemble_p1_2d(int64_t n, double h, int diagonal_right,
 }
 
 // 3D Kuhn decomposition (6 tets over vertex permutations).
-void assemble_p1_3d(int64_t n, double h, const double* kappa,
-                    double* planes, double* mass_planes, double* b,
-                    double f) {
+// diagonal_right = 0 mirrors component 0 of every vertex (the uniform
+// mirrored Kuhn mesh — must match fem.assembly.simplex_vertex_offsets'
+// 'left' convention, which the numpy fallback uses).
+void assemble_p1_3d(int64_t n, double h, int diagonal_right,
+                    const double* kappa, double* planes,
+                    double* mass_planes, double* b, double f) {
     static const int perms[6][3] = {{0, 1, 2}, {0, 2, 1}, {1, 0, 2},
                                     {1, 2, 0}, {2, 0, 1}, {2, 1, 0}};
     Simplex<3> tets[6];
@@ -201,6 +204,11 @@ void assemble_p1_3d(int64_t n, double h, const double* kappa,
         for (int step = 0; step < 3; ++step) {
             cur[perms[p][step]] = 1;
             tets[p].v[step + 1] = {cur[0], cur[1], cur[2]};
+        }
+        if (!diagonal_right) {
+            for (int k = 0; k < 4; ++k) {
+                tets[p].v[k][0] = 1 - tets[p].v[k][0];
+            }
         }
     }
     for (int s = 0; s < 6; ++s) {

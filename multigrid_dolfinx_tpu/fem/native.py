@@ -54,7 +54,8 @@ def load_library():
     ]
     lib.assemble_p1_2d.restype = None
     lib.assemble_p1_3d.argtypes = [
-        ctypes.c_int64, ctypes.c_double, dp, dp, dp, dp, ctypes.c_double,
+        ctypes.c_int64, ctypes.c_double, ctypes.c_int, dp, dp, dp, dp,
+        ctypes.c_double,
     ]
     lib.assemble_p1_3d.restype = None
     _lib = lib
@@ -101,6 +102,7 @@ def native_assemble_p1(
         )
     else:
         lib.assemble_p1_3d(
-            n, h, _ptr(kp), _ptr(planes), _ptr(massp), _ptr(b), f_const,
+            n, h, 1 if diagonal == "right" else 0, _ptr(kp),
+            _ptr(planes), _ptr(massp), _ptr(b), f_const,
         )
     return planes, massp, b

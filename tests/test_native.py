@@ -51,3 +51,22 @@ def test_native_diagonal_left():
     a_np = _numpy_assembled(grid, prob)
     assert a_nat.offsets == a_np.offsets
     np.testing.assert_allclose(a_nat.A_planes, a_np.A_planes, atol=1e-13)
+
+
+def test_native_diagonal_left_3d():
+    """Regression: the native 3D assembler used to IGNORE diagonal='left'
+    and silently return the 'right' matrices (caught when the exact
+    per-tet norm kernel disagreed with the 'golden' it was checked
+    against).  Offsets must be the component-0-mirrored set and all
+    arrays must match the numpy path."""
+    prob = ProblemSpec(ndim=3, rhs_const=-12.0, diagonal="left")
+    grid = GridLevel(level=0, ndim=3, n=4)
+    a_nat = fa.assemble_level(grid, prob)
+    a_np = _numpy_assembled(grid, prob)
+    assert a_nat.offsets == a_np.offsets
+    assert a_nat.M_offsets == a_np.M_offsets
+    assert (1, -1, -1) in a_nat.M_offsets      # mirrored Kuhn coupling
+    assert (1, 1, 1) not in a_nat.M_offsets
+    np.testing.assert_allclose(a_nat.A_planes, a_np.A_planes, atol=1e-13)
+    np.testing.assert_allclose(a_nat.M_planes, a_np.M_planes, atol=1e-16)
+    np.testing.assert_allclose(a_nat.b, a_np.b, atol=1e-14)
