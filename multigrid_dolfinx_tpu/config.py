@@ -117,7 +117,13 @@ class CycleSpec:
     nu2: int = 50         # post-smoothing sweeps  (reference mu2)
     omega: float = 2.0 / 3.0
     smoother: str = "jacobi"       # 'jacobi' | 'rbgs' | 'chebyshev'
-    cheby_degree: int = 4          # polynomial degree for Chebyshev smoothing
+    # Chebyshev smoothing degree.  0 (default) = the PETSc/production
+    # convention: a smoothing phase of nu sweeps applies ONE Chebyshev
+    # polynomial of degree nu — the same matvec budget as nu Jacobi/GS
+    # sweeps, so smoother choices bench at equal work.  d > 0 = explicit
+    # degree: each phase applies nu rounds of a degree-d polynomial
+    # (nu * d matvecs).
+    cheby_degree: int = 0
     cycle: str = "V"               # 'V' | 'W' | 'F'
     # 'injection' (reference parity) | 'full_weighting' (reference's unused
     # Restriction2D) | 'pt' (variational P^T — the scaling-consistent choice

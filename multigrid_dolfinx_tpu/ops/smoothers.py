@@ -164,6 +164,21 @@ def multicolor_gs_smooth(
     return jax.lax.fori_loop(0, nsweeps, sweep, v)
 
 
+def cheby_phase(nsweeps: int, cheby_degree: int):
+    """(rounds, degree) of a Chebyshev smoothing phase asked for
+    `nsweeps` sweeps.
+
+    cheby_degree == 0 (the default): the PETSc/production convention —
+    the phase is ONE Chebyshev polynomial of degree `nsweeps` (nu
+    matvecs: the same matvec budget as nu Jacobi/GS sweeps, so smoother
+    choices compare at equal work).  cheby_degree d > 0: `nsweeps`
+    applications of a degree-d polynomial (nu * d matvecs — the
+    explicit-degree form)."""
+    if cheby_degree <= 0:
+        return (1, int(nsweeps)) if nsweeps > 0 else (0, 1)
+    return int(nsweeps), int(cheby_degree)
+
+
 def chebyshev_smooth(
     sm: SmootherData,
     A: StencilOperator,
@@ -176,11 +191,14 @@ def chebyshev_smooth(
     targeting [lmax/eig_ratio, lmax] (the standard parallel-MG smoother:
     matvec-only, no sequential dependencies — cf. BASELINE.json config 3).
 
-    One 'round' = one degree-`sm.cheby_degree` Chebyshev polynomial
-    application (so a round costs `degree` matvecs).  `residual_fn(v, f)`
-    overrides the r = f - A v computation (the Pallas path substitutes the
-    fused residual kernel — Chebyshev is matvec-only, so that single
-    substitution puts the whole smoother at kernel speed)."""
+    `nrounds` (= nu) and `sm.cheby_degree` map to (rounds, degree) via
+    `cheby_phase`: with the default cheby_degree=0 the phase is ONE
+    polynomial of degree nu; an explicit degree d runs nu rounds of
+    degree d.  `residual_fn(v, f)` overrides the r = f - A v computation
+    (the Pallas path substitutes the fused residual kernel — Chebyshev
+    is matvec-only, so that single substitution puts the whole smoother
+    at kernel speed)."""
+    nrounds, degree = cheby_phase(nrounds, sm.cheby_degree)
     lmax = sm.lmax * 1.05           # safety margin on the lmax estimate
     lmin = lmax / sm.cheby_eig_ratio
     theta = 0.5 * (lmax + lmin)
@@ -198,7 +216,7 @@ def chebyshev_smooth(
         p = z / theta
         v = v + p
         rho_prev = 1.0 / sigma
-        for _k in range(1, sm.cheby_degree):
+        for _k in range(1, degree):
             r = residual_fn(v, f)
             z = dinv * r
             rho = 1.0 / (2.0 * sigma - rho_prev)

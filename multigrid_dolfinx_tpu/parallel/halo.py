@@ -32,6 +32,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import SolverConfig
 from ..mesh import build_grid_hierarchy
+from ..ops import smoothers
 from ..solver.hierarchy import Hierarchy, build_lean_hierarchy
 
 try:  # jax>=0.6 moved shard_map out of experimental
@@ -354,6 +355,7 @@ def build_halo_solver(config: SolverConfig, mesh: Mesh,
         def smooth(li, v, f, n):
             o = off(li, v.shape)
             wc, woff = weights[li]
+            niter = n
             if spec.smoother == "chebyshev":
                 # same polynomial recurrence as ops.smoothers.
                 # chebyshev_smooth (matvec-only), the local residual —
@@ -366,13 +368,15 @@ def build_halo_solver(config: SolverConfig, mesh: Mesh,
                 sigma = theta / delta
                 interior, _ = _masks_local(v.shape, o, lms[li])
                 dinv = jnp.where(interior, 1.0 / wc, jnp.ones((), v.dtype))
+                niter, degree = smoothers.cheby_phase(
+                    n, spec.cheby_degree)
 
                 def body(_, vv):
                     z = dinv * residual_at(li, o, vv, f)
                     p = z / theta
                     vv = vv + p
                     rho_prev = 1.0 / sigma
-                    for _k in range(1, spec.cheby_degree):
+                    for _k in range(1, degree):
                         z = dinv * residual_at(li, o, vv, f)
                         rho = 1.0 / (2.0 * sigma - rho_prev)
                         p = rho * rho_prev * p + (2.0 * rho / delta) * z
@@ -398,11 +402,11 @@ def build_halo_solver(config: SolverConfig, mesh: Mesh,
                                                   wc, woff, spec.omega)
                     return rbgs_sweep_local(vv, f, o, lms[li], ax, wc,
                                             woff)
-            if n <= 2:
-                for k in range(n):
+            if niter <= 2:
+                for k in range(niter):
                     v = body(k, v)
                 return v
-            return jax.lax.fori_loop(0, n, body, v)
+            return jax.lax.fori_loop(0, niter, body, v)
 
         def vcycle(li, v, f, shape=None):
             # V / W / F cycle shapes, matching solver.vcycle:327-337 and

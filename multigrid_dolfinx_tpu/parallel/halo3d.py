@@ -39,6 +39,7 @@ from ..config import SolverConfig
 from ..mesh import build_grid_hierarchy
 from ..ops.pallas import stencil3d
 from ..ops import dispatch
+from ..ops import smoothers
 from ..ops import transfer as xfer
 from ..ops.operators import box_interior_mask
 from ..solver.hierarchy import Hierarchy, build_lean_hierarchy
@@ -454,12 +455,15 @@ def _build_halo3d(config: SolverConfig, mesh: Mesh,
                 dinv = jnp.where(interior, 1.0 / wc,
                                  jnp.ones((), v.dtype))
 
+                rounds, degree = smoothers.cheby_phase(
+                    n, spec.cheby_degree)
+
                 def one_round(_, vv):
                     z = dinv * residual(li, vv, f)
                     p = z / theta
                     vv = vv + p
                     rho_prev = 1.0 / sigma
-                    for _k in range(1, spec.cheby_degree):
+                    for _k in range(1, degree):
                         z = dinv * residual(li, vv, f)
                         rho = 1.0 / (2.0 * sigma - rho_prev)
                         p = rho * rho_prev * p + (2.0 * rho / delta) * z
@@ -467,11 +471,11 @@ def _build_halo3d(config: SolverConfig, mesh: Mesh,
                         rho_prev = rho
                     return vv
 
-                if n <= 2:
-                    for k in range(n):
+                if rounds <= 2:
+                    for k in range(rounds):
                         v = one_round(k, v)
                     return v
-                return jax.lax.fori_loop(0, n, one_round, v)
+                return jax.lax.fori_loop(0, rounds, one_round, v)
             if use_kernels and li >= s:
                 from ..ops.pallas import stencil3d_dist as sd3
 

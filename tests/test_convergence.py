@@ -5,6 +5,7 @@ smoother/cycle variants, and 3D.
 These use practical configs (V(2,2), full weighting) rather than the
 reference's V(50,50)+injection, which is what production runs look like.
 """
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -161,3 +162,39 @@ def test_track_error_off_keeps_convergence():
     assert np.all(np.isnan(np.asarray(r_off.err_hist)))
     np.testing.assert_array_equal(np.asarray(r_off.res_hist)[:k],
                                   np.asarray(r_on.res_hist)[:k])
+
+
+def test_cheby_phase_mapping():
+    """cheby_degree=0 (default): one polynomial of degree nu per phase
+    (PETSc convention, equal matvec budget to nu GS/Jacobi sweeps);
+    explicit degree d: nu rounds of degree d (legacy form)."""
+    from multigrid_dolfinx_tpu.ops.smoothers import cheby_phase
+
+    assert cheby_phase(2, 0) == (1, 2)
+    assert cheby_phase(5, 0) == (1, 5)
+    assert cheby_phase(0, 0) == (0, 1)
+    assert cheby_phase(2, 4) == (2, 4)
+    assert cheby_phase(1, 1) == (1, 1)
+
+
+def test_cheby_default_matvec_budget():
+    """The default V(2,2) chebyshev smoothing phase costs exactly nu
+    matvecs (counted through the residual_fn hook)."""
+    from multigrid_dolfinx_tpu import build_hierarchy
+    from multigrid_dolfinx_tpu.ops import smoothers
+
+    cyc = CycleSpec(nu1=2, nu2=2, smoother="chebyshev",
+                    restriction="pt", tol=1e-9, max_cycles=60)
+    cfg = models.poisson2d(finest_level=2, cycle=cyc)
+    hier = build_hierarchy(cfg)
+    lv = hier.finest
+    calls = []
+
+    def counting_residual(v, f):
+        calls.append(1)
+        return f - lv.A.apply(v)
+
+    v = jnp.zeros_like(lv.b)
+    smoothers.chebyshev_smooth(lv.sm, lv.A, v, lv.b, 2,
+                               residual_fn=counting_residual)
+    assert len(calls) == 2
