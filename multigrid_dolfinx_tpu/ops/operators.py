@@ -56,7 +56,7 @@ def _shifted(up: jax.Array, off: Offset, shape, r: int) -> jax.Array:
     jax.tree_util.register_dataclass,
     data_fields=["planes", "class_tables"],
     meta_fields=["offsets", "const_weights", "logical_m", "boundary_mode",
-                 "grid_shape"],
+                 "grid_shape", "uniform_p1_mass"],
 )
 @dataclasses.dataclass(frozen=True)
 class StencilOperator:
@@ -87,6 +87,14 @@ class StencilOperator:
     # e.g. the consistent mass matrix of a constant-coefficient level):
     # class_tables[k][flat 3^d class index] = plane value.
     class_tables: Optional[jax.Array] = None
+    # Static certificate that this operator IS the consistent P1 mass of
+    # the uniform simplicial grid with the given diagonal ('right' |
+    # 'left'; None = unknown/other).  Lets norm kernels use the exact
+    # per-simplex geometric quadratic form q = sum_T (V/20)[(sum r)^2 +
+    # sum r^2] instead of generic table correlations (the values are a
+    # consequence of the mesh, so the flag is set where the tables are
+    # built from mass_class_tables and nowhere else).
+    uniform_p1_mass: Optional[str] = None
 
     @property
     def ndim(self) -> int:

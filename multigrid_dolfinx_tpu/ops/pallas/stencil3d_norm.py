@@ -190,6 +190,223 @@ def _norm_kernel(zb_ref, t_ref, v_hbm, f_hbm, out_ref, vwin, fwin,
                 out_ref[0, 0] = out_ref[0, 0] + partial
 
 
+def _tet_norm_kernel(zb_ref, v_hbm, f_hbm, out_ref, vwin, fwin,
+                     vnew, fnew, ttmp, sems, *,
+                     Mz, My, Mx, lm, tz, wc, woff, tets, counts):
+    """q_raw = sum_{cells} [ sum_{6 tets} (sum_{4 corners} r)^2
+                             + sum_{corners} count * r^2 ]
+    with r the unmasked residual derived in-window from (v, f) — the
+    exact consistent-P1-mass quadratic form up to the static factor
+    h^3/120 applied by the wrapper (int_T (sum r_i phi_i)^2 =
+    (V/20)[(sum r_i)^2 + sum r_i^2] for a linear tet).  Cells are
+    anchored at their low corner; each block owns the anchors of its
+    output slabs, so every cell is counted exactly once and NO
+    boundary-shell correction exists (the per-tet sum IS the boundary
+    handling)."""
+    h = 2
+    i = pl.program_id(0)
+    nprog = pl.num_programs(0)
+    ws = tz + 2 * h
+    zb = zb_ref[0, 0]
+    h2 = 2 * h
+
+    def start(block):
+        return jnp.clip(block * tz - h, 0, Mz - ws)
+
+    def new_copies(block, slot):
+        z0 = start(block) + h2
+        return (
+            pltpu.make_async_copy(
+                v_hbm.at[pl.ds(z0, tz), :, :], vnew.at[slot],
+                sems.at[slot, 0]),
+            pltpu.make_async_copy(
+                f_hbm.at[pl.ds(z0, tz), :, :], fnew.at[slot],
+                sems.at[slot, 1]),
+        )
+
+    @pl.when(i == 0)
+    def _():
+        cv = pltpu.make_async_copy(
+            v_hbm.at[pl.ds(start(0), ws), :, :], vwin, sems.at[2, 0])
+        cf = pltpu.make_async_copy(
+            f_hbm.at[pl.ds(start(0), ws), :, :], fwin, sems.at[2, 1])
+        cv.start()
+        cf.start()
+        if nprog > 1:
+            for c in new_copies(1, 1):
+                c.start()
+        cv.wait()
+        cf.wait()
+
+    @pl.when(i > 0)
+    def _():
+        shift = start(i) - start(i - 1)
+        ttmp[:] = vwin[pl.ds(shift, h2)]
+        vwin[:h2] = ttmp[:]
+        ttmp[:] = fwin[pl.ds(shift, h2)]
+        fwin[:h2] = ttmp[:]
+        slot = jax.lax.rem(i, jnp.int32(2))
+        for c in new_copies(i, slot):
+            c.wait()
+        vwin[h2:] = vnew[slot]
+        fwin[h2:] = fnew[slot]
+        if nprog > 2:
+            @pl.when(i + 1 < nprog)
+            def _():
+                for c in new_copies(
+                        i + 1, jax.lax.rem(i + 1, jnp.int32(2))):
+                    c.start()
+
+    v = vwin[:]
+    f = fwin[:]
+    z0 = start(i) + zb
+    y = jax.lax.broadcasted_iota(jnp.int32, (My, Mx), 0)
+    x = jax.lax.broadcasted_iota(jnp.int32, (My, Mx), 1)
+    inplane_int = (y >= 1) & (y <= lm - 2) & (x >= 1) & (x <= lm - 2)
+    inplane_box = (y <= lm - 1) & (x <= lm - 1)
+    anchor_plane = (y <= lm - 2) & (x <= lm - 2)
+    zero = jnp.zeros((My, Mx), v.dtype)
+    o = i * tz - start(i)
+
+    def r_slab(s):
+        zg = z0 + s
+        interior = jnp.logical_and(
+            inplane_int, (zg >= 1) & (zg <= lm - 2))
+        inbox = jnp.logical_and(inplane_box, zg <= lm - 1)
+        vm = {
+            t: jnp.where(
+                jnp.logical_and(inplane_int,
+                                (z0 + t >= 1) & (z0 + t <= lm - 2)),
+                v[t], zero)
+            for t in (s - 1, s, s + 1) if 0 <= t < ws
+        }
+        c = vm.get(s, zero)
+        ssum = (
+            vm.get(s - 1, zero) + vm.get(s + 1, zero)
+            + _roll(c, 1, 0) + _roll(c, -1, 0)
+            + _roll(c, 1, 1) + _roll(c, -1, 1)
+        )
+        av = wc * c + woff * ssum
+        r = jnp.where(interior, f[s] - av, f[s] - v[s])
+        return jnp.where(inbox, r, zero)
+
+    for oc in _branch_offsets(tz, h):
+        @pl.when(o == oc)
+        def _(oc=oc):
+            hi = min(oc + tz + 1, ws)       # one extra slab for dz=+1
+            quads = {}
+            for s in range(oc, hi):
+                r = r_slab(s)
+                ry = _roll(r, -1, 0)
+                rx = _roll(r, -1, 1)
+                rxy = _roll(ry, -1, 1)
+                quads[s] = (r, rx, ry, rxy)   # index by dy*2 + dx
+
+            def corner(s, dz, dy, dx):
+                q = quads.get(s + dz)
+                return zero if q is None else q[dy * 2 + dx]
+
+            partial = jnp.float32(0.0)
+            for sl in range(tz):
+                s = oc + sl
+                cs = {(dz, dy, dx): corner(s, dz, dy, dx)
+                      for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)}
+                acc = zero
+                for b, cnt in counts.items():
+                    acc = acc + jnp.float32(cnt) * cs[b] * cs[b]
+                for tet in tets:
+                    t = cs[tet[0]] + cs[tet[1]] + cs[tet[2]] + cs[tet[3]]
+                    acc = acc + t * t
+                anchor = jnp.logical_and(anchor_plane, z0 + s <= lm - 2)
+                partial = partial + jnp.sum(
+                    jnp.where(anchor, acc, zero), dtype=jnp.float32)
+            # single (1, 1) SMEM scalar accumulated across the
+            # sequential grid (constant-index output block; see
+            # _norm_kernel for why per-program blocks don't lower).
+            @pl.when(i == 0)
+            def _():
+                out_ref[0, 0] = partial
+
+            @pl.when(i > 0)
+            def _():
+                out_ref[0, 0] = out_ref[0, 0] + partial
+
+
+def _pick_tz_tet(Mz, My, Mx, itemsize: int = 4) -> int:
+    slab = My * Mx * itemsize
+    budget = 121 * 1024 * 1024
+    for tz in (8, 4, 2):
+        ws = tz + 4
+        # windows + prefetch slots + ttmp, 4 rolled residual planes per
+        # window slab held live in the branch body, ~8 corner/temp planes
+        need = (2 * ws + 4 * tz + 4) * slab \
+            + 4 * (tz + 1) * slab + 8 * slab
+        if Mz % tz == 0 and ws <= Mz and need <= budget:
+            return tz
+    return 0
+
+
+def residual_tet_quad(v, f, lm, wc, woff, diagonal,
+                      interpret: bool = False):
+    """q = r^T M r with M the consistent P1 mass of the uniform Kuhn
+    grid (`diagonal` = 'right' | 'left'), r = f - A v unmasked — via the
+    exact per-tetrahedron geometric sum.  One rolling pass over (v, f),
+    ~7 relayout ops per slab (vs ~20 table-correlation rolls in
+    _norm_kernel, which measured compute-bound at 286 ms vs 35 ms plain
+    at 512^3 on v5e).  Returns the scalar, or None when the shape
+    doesn't admit the kernel."""
+    Mz, My, Mx = v.shape
+    if My % 8 or Mx % 128 or lm > min(Mz, My, Mx):
+        return None
+    if My - lm < 1 or Mx - lm < 1:
+        return None      # rolled reads rely on >= 1 zero pad row/col
+    tz = _pick_tz_tet(Mz, My, Mx)
+    if tz == 0 or Mz // tz < 2:
+        return None
+    from ...fem.assembly import simplex_vertex_offsets
+
+    tets = tuple(
+        tuple(tuple(int(c) for c in corner) for corner in tet)
+        for tet in simplex_vertex_offsets(3, diagonal)
+    )
+    counts = {}
+    for tet in tets:
+        for corner in tet:
+            counts[corner] = counts.get(corner, 0) + 1
+    ws = tz + 4
+    kernel = functools.partial(
+        _tet_norm_kernel, Mz=Mz, My=My, Mx=Mx, lm=lm, tz=tz,
+        wc=float(wc), woff=float(woff), tets=tets, counts=counts,
+    )
+    zb = jnp.zeros((1, 1), jnp.int32)
+    nblocks = Mz // tz
+    parts = pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((ws, My, Mx), v.dtype),
+            pltpu.VMEM((ws, My, Mx), v.dtype),
+            pltpu.VMEM((2, tz, My, Mx), v.dtype),
+            pltpu.VMEM((2, tz, My, Mx), v.dtype),
+            pltpu.VMEM((4, My, Mx), v.dtype),
+            pltpu.SemaphoreType.DMA((3, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(zb, v, f)
+    h3 = (1.0 / (lm - 1)) ** 3
+    return parts[0, 0] * jnp.float32(h3 / 120.0)
+
+
 def _pick_tz_norm(Mz, My, Mx, itemsize: int = 4) -> int:
     slab = My * Mx * itemsize
     budget = 121 * 1024 * 1024

@@ -122,10 +122,20 @@ def _fused_residual_norm(hier: Hierarchy, spec: CycleSpec, v, f):
         return None
     from ..ops.pallas import stencil3d_norm
 
-    q = stencil3d_norm.residual_mass_quad(
-        v, f, M.class_tables, M.offsets, lv.n + 1, w[0], w[1],
-        interpret=dispatch.interpret_mode(),
-    )
+    q = None
+    if M.uniform_p1_mass in ("right", "left"):
+        # Exact per-tetrahedron geometric form — the fast path (the
+        # generic table-correlation kernel below measured compute-bound
+        # on v5e; see residual_tet_quad).
+        q = stencil3d_norm.residual_tet_quad(
+            v, f, lv.n + 1, w[0], w[1], M.uniform_p1_mass,
+            interpret=dispatch.interpret_mode(),
+        )
+    if q is None:
+        q = stencil3d_norm.residual_mass_quad(
+            v, f, M.class_tables, M.offsets, lv.n + 1, w[0], w[1],
+            interpret=dispatch.interpret_mode(),
+        )
     if q is None:
         return None
     return jnp.sqrt(jnp.maximum(q, 0.0)).astype(v.dtype)

@@ -363,6 +363,7 @@ def build_hierarchy(
             logical_m=g_f.points_per_dim,
             grid_shape=tuple(levels[-1].shape),
             class_tables=jnp.asarray(m_tables * h_scale, dtype=dtype),
+            uniform_p1_mass=config.problem.diagonal,
         )
     else:
         M_fine = StencilOperator.from_numpy(
@@ -488,6 +489,7 @@ def build_lean_hierarchy(
         logical_m=g_f.points_per_dim,
         grid_shape=tuple(levels[-1].shape),
         class_tables=jnp.asarray(m_tables * h_scale, dtype=dtype),
+        uniform_p1_mass=config.problem.diagonal,
     )
     # The error norm is all-static metadata now (u* evaluated on the fly),
     # so lean hierarchies keep it — reference err_calculator semantics
@@ -669,6 +671,7 @@ def build_var_hierarchy(
         logical_m=g_f.points_per_dim,
         grid_shape=tuple(levels[-1].shape),
         class_tables=jnp.asarray(m_tables * h_scale, dtype=dtype),
+        uniform_p1_mass=problem.diagonal,
     )
     eq = error_quadrature(grids[-1], problem)
     return Hierarchy(

@@ -894,3 +894,49 @@ def test_dist2d_transfers_match_single_device():
         np.testing.assert_allclose(
             np.asarray(got_p), np.asarray(want_p[s * 512:(s + 1) * 512]),
             rtol=0, atol=1e-6)
+
+
+@pytest.mark.parametrize("diagonal", ["right", "left"])
+def test_tet_residual_mass_norm_matches_reference(diagonal):
+    """residual_tet_quad (exact per-tetrahedron geometric quadratic
+    form) equals quadratic_form(M, r, r) on the class-table consistent
+    mass for BOTH Kuhn diagonals — no boundary-shell correction exists,
+    so this pins boundary/edge/corner cells too."""
+    from multigrid_dolfinx_tpu import models
+    from multigrid_dolfinx_tpu.config import CycleSpec
+    from multigrid_dolfinx_tpu.ops import dispatch
+    from multigrid_dolfinx_tpu.ops.operators import quadratic_form
+    from multigrid_dolfinx_tpu.ops.pallas import stencil3d_norm
+    from multigrid_dolfinx_tpu.solver.hierarchy import build_lean_hierarchy
+    from multigrid_dolfinx_tpu.solver.vcycle import compute_residual
+    import dataclasses
+
+    cyc = CycleSpec(nu1=2, nu2=2, smoother="rbgs", restriction="pt",
+                    tol=0.0, rtol=1e-6, max_cycles=40,
+                    use_pallas=True, track_error=False)
+    cfg = models.poisson3d(finest_level=3, coarsest_level=1,
+                           coarsest_elements=4, dtype="float32",
+                           cycle=cyc)
+    cfg = dataclasses.replace(
+        cfg, problem=dataclasses.replace(cfg.problem, diagonal=diagonal))
+    hier = build_lean_hierarchy(cfg)
+    lv = hier.finest
+    lm = lv.n + 1
+    assert hier.M_fine.uniform_p1_mass == diagonal
+    rng = np.random.default_rng(7)
+
+    def boxed(x):
+        m = np.zeros(x.shape, bool)
+        m[:lm, :lm, :lm] = True
+        return jnp.asarray(np.where(m, x, 0.0), jnp.float32)
+
+    v = boxed(rng.standard_normal(lv.shape).astype(np.float32))
+    f = boxed(rng.standard_normal(lv.shape).astype(np.float32))
+    w = dispatch.const7_weights(lv.A)
+    q = stencil3d_norm.residual_tet_quad(
+        v, f, lm, w[0], w[1], diagonal, interpret=True)
+    assert q is not None
+    r = compute_residual(lv, v, f, use_pallas=True)
+    q_ref = quadratic_form(hier.M_fine, r, r)
+    np.testing.assert_allclose(float(q), float(q_ref),
+                               rtol=2e-5, atol=0.0)
