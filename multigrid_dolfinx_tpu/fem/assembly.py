@@ -145,18 +145,26 @@ class PlaneAccumulator:
         spurious stencil legs."""
         zero = (0,) * len(self.shape)
         self._plane(zero)
-        scale = max(
-            (np.abs(p).max() for p in self.planes.values()), default=1.0
-        )
+        # ONE max-magnitude scan per plane via the (min, max) pair —
+        # np.abs(p).max() materializes a full-plane temp, and with P2's
+        # 125 offsets these scans dominated the whole build (21 of 23 s
+        # of assemble_level at 32^3 cells P2).
+        amax = {
+            o: max(float(p.max(initial=0.0)), -float(p.min(initial=0.0)))
+            for o, p in self.planes.items()
+        }
+        scale = max(amax.values(), default=1.0)
         tol = 1e-13 * max(scale, 1e-300)
-        offs = sorted(self.planes.keys())
         offs = [
-            o for o in offs
-            if o == zero or np.abs(self.planes[o]).max() > tol
+            o for o in sorted(self.planes.keys())
+            if o == zero or amax[o] > tol
         ]
         planes = np.stack([self.planes[o] for o in offs], axis=0)
-        # zero out the dust inside kept planes as well
-        planes[np.abs(planes) <= tol] = 0.0
+        # zero out the dust inside kept planes as well (plane-at-a-time:
+        # the stacked-array boolean temp was another full-size pass)
+        for k in range(planes.shape[0]):
+            pk = planes[k]
+            pk[np.abs(pk) <= tol] = 0.0
         return tuple(offs), planes
 
 

@@ -54,15 +54,24 @@ def _dist_window(hbm, lo_hbm, hi_hbm, win2, sems, semh, bi, nprog,
     slot = jax.lax.rem(bi, jnp.int32(2))
 
     def dmas(block, sl):
+        # pl.multiple_of: tm, hp, M are all multiples of 8, so every row
+        # start is too — but Mosaic cannot prove it through the clip on
+        # real TPU ("Failed to prove that a tile index in dimension 0 is
+        # divisible by the tiling (8)"); the 2D leading axis is the
+        # sublane axis, so the proof is required here (unlike the 3D
+        # kernels' untiled leading-z starts).
+        head = pl.multiple_of(jnp.clip(block * tm - hp, 0, M - hp), 8)
+        core = pl.multiple_of(block * tm, 8)
+        tail = pl.multiple_of(jnp.clip(block * tm + tm, 0, M - hp), 8)
         return (
             pltpu.make_async_copy(
-                hbm.at[pl.ds(jnp.clip(block * tm - hp, 0, M - hp), hp), :],
+                hbm.at[pl.ds(head, hp), :],
                 win2.at[sl, pl.ds(0, hp)], sems.at[sl, 0]),
             pltpu.make_async_copy(
-                hbm.at[pl.ds(block * tm, tm), :],
+                hbm.at[pl.ds(core, tm), :],
                 win2.at[sl, pl.ds(hp, tm)], sems.at[sl, 1]),
             pltpu.make_async_copy(
-                hbm.at[pl.ds(jnp.clip(block * tm + tm, 0, M - hp), hp), :],
+                hbm.at[pl.ds(tail, hp), :],
                 win2.at[sl, pl.ds(hp + tm, hp)], sems.at[sl, 2]),
         )
 
