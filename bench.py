@@ -193,12 +193,15 @@ def main():
     ndim = int(os.environ.get("MG_BENCH_NDIM", "3"))
     default_n = "512" if ndim == 3 else "2048"
     n_elems = int(os.environ.get("MG_BENCH_N", default_n))
-    # 20 cycles per timed call: each device call through the axon tunnel
+    # 40 cycles per timed call: each device call through the axon tunnel
     # pays ~30 ms RPC latency, which at 5 cycles inflated the reported
     # per-cycle time by ~6 ms (profiler-traced device time per V-cycle is
-    # 22.4 ms at 512^3 vs 28.6 ms reported) — 20 cycles amortizes the RPC
-    # to < 1 ms/cycle without stretching the bench past the driver window.
-    cycles = int(os.environ.get("MG_BENCH_CYCLES", "20"))
+    # 20.7 ms at 512^3 post-tail-fusion vs 28.6 ms reported at 5
+    # cycles/call).  The production tolerance driver runs its whole
+    # (up to max_cycles=40) V-cycle loop inside ONE device program, so
+    # amortizing the RPC over 40 cycles mirrors the real call pattern;
+    # it leaves < 0.8 ms/cycle of tunnel overhead in the number.
+    cycles = int(os.environ.get("MG_BENCH_CYCLES", "40"))
     base_n = int(os.environ.get("MG_BENCH_BASE_N",
                                 "128" if ndim == 3 else "1024"))
     use_pallas = os.environ.get("MG_BENCH_PALLAS", "1") == "1"

@@ -97,12 +97,14 @@ def _fused_residual_norm(hier: Hierarchy, spec: CycleSpec, v, f):
     """The per-cycle convergence check r = f - Av, rn = sqrt(r^T M r) as
     ONE rolling Pallas pass over (v, f) — or None off the fast path.
 
-    The plain-XLA class-table mass matvec costs ~37 ms at 512^3 (pad + 15
-    shifted slice copies + per-point table gathers), MORE than the 22 ms
-    V-cycle it guards; fused, the check is bandwidth-bound on a single
-    read of v and f (ops/pallas/stencil3d_norm.py).  Semantics identical
-    to residual_norm(compute_residual(...)): reference res_calculator,
-    multigrid.py:203-208."""
+    The plain-XLA path costs ~35 ms at 512^3 (residual kernel + padded
+    class-table mass matvec + dot), MORE than the ~21 ms V-cycle it
+    guards; the per-tetrahedron fused kernel measures 6.3 ms (one read
+    of v and f; ops/pallas/stencil3d_norm.residual_tet_quad).  The
+    generic table-correlation kernel (286 ms — relayout-bound) remains
+    only as the fallback for non-certified mass operators.  Semantics
+    identical to residual_norm(compute_residual(...)): reference
+    res_calculator, multigrid.py:203-208."""
     import os
 
     if os.environ.get("MG_FUSED_NORM", "1") != "1":

@@ -72,6 +72,22 @@ def loop_plain(h, v):
 
 @jax.jit
 def loop_fused(h, v):
+    # the production route: exact per-tetrahedron geometric form
+    f = h.finest.b
+
+    def body(i, carry):
+        v, acc = carry
+        v = vcycle(h, cyc, L, v, f)
+        q = stencil3d_norm.residual_tet_quad(
+            v, f, lm, wc, woff, h.M_fine.uniform_p1_mass)
+        return v, acc + jnp.sqrt(jnp.maximum(q, 0.0))
+    return jax.lax.fori_loop(0, K, body, (v, jnp.float32(0.0)))
+
+
+@jax.jit
+def loop_generic(h, v):
+    # the generic table-correlation kernel (measured compute-bound on
+    # v5e; kept as the fallback for non-certified mass operators)
     f = h.finest.b
 
     def body(i, carry):
@@ -108,15 +124,21 @@ v1 = jnp.full(shape, 1e-4, jnp.float32)
 r = compute_residual(lv, v1, hier.finest.b, use_pallas=True)
 from multigrid_dolfinx_tpu.ops.operators import quadratic_form
 q_ref = float(quadratic_form(M, r, r))
-q_fused = float(stencil3d_norm.residual_mass_quad(
+q_tet = float(stencil3d_norm.residual_tet_quad(
+    v1, hier.finest.b, lm, wc, woff, M.uniform_p1_mass))
+q_gen = float(stencil3d_norm.residual_mass_quad(
     v1, hier.finest.b, M.class_tables, M.offsets, lm, wc, woff))
-rel = abs(q_fused - q_ref) / abs(q_ref)
-print(f"agreement: plain {q_ref:.8e} fused {q_fused:.8e} rel {rel:.2e}",
-      flush=True)
-assert rel < 1e-5, rel
+rel_t = abs(q_tet - q_ref) / abs(q_ref)
+rel_g = abs(q_gen - q_ref) / abs(q_ref)
+print(f"agreement: plain {q_ref:.8e} tet {q_tet:.8e} rel {rel_t:.2e} "
+      f"generic {q_gen:.8e} rel {rel_g:.2e}", flush=True)
+assert rel_t < 1e-5, rel_t
+assert rel_g < 1e-5, rel_g
 
 t_v = timed("vcycle alone", loop_v)
 t_p = timed("vcycle + plain residual+norm", loop_plain)
-t_f = timed("vcycle + FUSED residual+norm", loop_fused)
-print(f"check cost: plain {t_p - t_v:.2f} ms  fused {t_f - t_v:.2f} ms "
-      f"({(t_p - t_v) / max(t_f - t_v, 1e-9):.1f}x)")
+t_f = timed("vcycle + TET residual+norm", loop_fused)
+t_g = timed("vcycle + generic-table residual+norm", loop_generic)
+print(f"check cost: plain {t_p - t_v:.2f} ms  tet {t_f - t_v:.2f} ms "
+      f"generic {t_g - t_v:.2f} ms "
+      f"(tet speedup over plain {(t_p - t_v) / max(t_f - t_v, 1e-9):.1f}x)")
