@@ -366,6 +366,15 @@ def smooth(
             if kind == "chebyshev":
                 interp = dispatch.interpret_mode()
                 lm = A.logical_m
+                if v.ndim == 3:
+                    # fused momentum-form step kernel: 4 HBM passes per
+                    # matvec step vs ~8 for residual-kernel + XLA updates
+                    from .pallas import stencil3d_cheby
+
+                    out = stencil3d_cheby.chebyshev_phase_fused(
+                        sm, A, v, f, nsweeps, interpret=interp)
+                    if out is not None:
+                        return out
                 if v.ndim == 2:
                     from .pallas import stencil2d
 

@@ -940,3 +940,45 @@ def test_tet_residual_mass_norm_matches_reference(diagonal):
     q_ref = quadratic_form(hier.M_fine, r, r)
     np.testing.assert_allclose(float(q), float(q_ref),
                                rtol=2e-5, atol=0.0)
+
+
+def test_fused_chebyshev_phase_matches_jnp():
+    """The momentum-form fused Chebyshev step kernel
+    (ops.pallas.stencil3d_cheby) reproduces chebyshev_smooth's p-form
+    recurrence (algebraically identical; f32 rounding only)."""
+    from multigrid_dolfinx_tpu import models
+    from multigrid_dolfinx_tpu.config import CycleSpec
+    from multigrid_dolfinx_tpu.ops import smoothers
+    from multigrid_dolfinx_tpu.ops.pallas import stencil3d_cheby
+    from multigrid_dolfinx_tpu.solver.hierarchy import build_lean_hierarchy
+
+    cyc = CycleSpec(nu1=2, nu2=2, smoother="chebyshev", restriction="pt",
+                    tol=0.0, rtol=1e-6, max_cycles=40,
+                    use_pallas=True, track_error=False)
+    cfg = models.poisson3d(finest_level=3, coarsest_level=1,
+                           coarsest_elements=4, dtype="float32",
+                           cycle=cyc)
+    hier = build_lean_hierarchy(cfg)
+    lv = hier.finest
+    rng = np.random.default_rng(23)
+    lm = lv.n + 1
+    m = np.zeros(lv.shape, bool)
+    m[:lm, :lm, :lm] = True
+    v = jnp.asarray(np.where(m, rng.standard_normal(lv.shape), 0.0),
+                    jnp.float32)
+    f = lv.b
+    ref = smoothers.chebyshev_smooth(lv.sm, lv.A, v, f, 2)
+    out = stencil3d_cheby.chebyshev_phase_fused(
+        lv.sm, lv.A, v, f, 2, interpret=True)
+    assert out is not None
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0.0, atol=5e-6)
+    # explicit-degree (legacy rounds) form too
+    import dataclasses
+    sm4 = dataclasses.replace(lv.sm, cheby_degree=3)
+    ref4 = smoothers.chebyshev_smooth(sm4, lv.A, v, f, 2)
+    out4 = stencil3d_cheby.chebyshev_phase_fused(
+        sm4, lv.A, v, f, 2, interpret=True)
+    assert out4 is not None
+    np.testing.assert_allclose(np.asarray(out4), np.asarray(ref4),
+                               rtol=0.0, atol=5e-6)
