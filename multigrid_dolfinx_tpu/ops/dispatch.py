@@ -69,18 +69,22 @@ def pallas_planes_eligible(A: StencilOperator, shape: Tuple[int, ...],
     Galerkin, kappa(x), screened Poisson — the configurations that
     previously always fell back to the much slower plain-XLA path
     (reference capability: dolfinx's general forms,
-    Multigrid_prototype.py:88-91).  3D additionally admits radius-2 (P2)
-    operators: the per-color-pass GS and single-stage Jacobi/residual
-    kernels take the radius as their window halo.  (2D keeps radius 1:
-    its GS kernel runs all colors inside one window, whose halo cannot
-    cover 9 mod-3 color stages at radius 2.)"""
+    Multigrid_prototype.py:88-91).  Radius-2 (P2) operators are admitted
+    in both dimensions: in 3D the per-color-pass GS and single-stage
+    Jacobi/residual kernels take the radius as their window halo; in 2D
+    the GS kernel runs all 9 mod-3 color stages inside one window with a
+    24-row halo (stencil2d.planes_gs_sweep)."""
     if A.planes is None or len(shape) not in (2, 3):
         return False
-    max_radius = 2 if len(shape) == 3 else 1
-    if A.radius > max_radius:
+    if A.radius > 2:
         return False
     if len(shape) == 3 and shape[0] < 2 * A.radius + 1:
         return False
+    if len(shape) == 2:
+        from .pallas.stencil2d import planes2_admits
+
+        if not planes2_admits(shape, A.planes.shape[0], A.radius):
+            return False
     return jnp.dtype(dtype) == jnp.float32 and layout_aligned(shape)
 
 

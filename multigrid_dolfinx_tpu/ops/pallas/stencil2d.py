@@ -87,18 +87,18 @@ def _neighbor_sum(x):
 # Jacobi sweep
 # ----------------------------------------------------------------------
 
-def _win_start(r0, M, ws):
-    return pl.multiple_of(jnp.clip(r0 - 8, 0, M - ws), 8)
+def _win_start(r0, M, ws, halo: int = 8):
+    return pl.multiple_of(jnp.clip(r0 - halo, 0, M - ws), 8)
 
 
-def _db_window(hbm, win2, sems, i, nprog, M, ws, tm):
+def _db_window(hbm, win2, sems, i, nprog, M, ws, tm, halo: int = 8):
     """Double-buffered window DMA: prefetch block i+1's window while block
     i computes; returns block i's window slot values."""
     slot = jax.lax.rem(i, jnp.int32(2))
 
     def dma(block, sl):
         return pltpu.make_async_copy(
-            hbm.at[pl.ds(_win_start(block * tm, M, ws), ws), :],
+            hbm.at[pl.ds(_win_start(block * tm, M, ws, halo), ws), :],
             win2.at[sl], sems.at[sl],
         )
 
@@ -359,25 +359,41 @@ def _prolong_kernel(c_hbm, out_ref, cwin, stage, sem, *, tm, Mf, Wf, Mc, Wc, lmf
 # for the color classes.
 # ----------------------------------------------------------------------
 
-def _pick_tm_planes(M: int, W: int, K: int, itemsize: int = 4) -> int:
+def _pick_tm_planes(M: int, W: int, K: int, itemsize: int = 4,
+                    halo: int = 8) -> int:
     """Row block such that the double-buffered v/f/planes windows fit the
-    VMEM budget."""
+    VMEM budget; 0 when no block size admits (caller falls back).  `halo`
+    is the per-side window overhang: 8 covers radius-2 neighbor reads of
+    a single-stage kernel; the radius-2 GS kernel needs 24 (9 mod-3 color
+    stages x radius 2 = 18 rows of edge invalidation, rounded up to the
+    8-row DMA alignment)."""
     budget = 72 * 1024 * 1024
     for tm in (256, 128, 64, 32, 16, 8):
-        ws = tm + 16
+        ws = tm + 2 * halo
         need = (2 * (K + 2) * ws + 2 * ws + tm) * W * itemsize
         if M % tm == 0 and ws <= M and need <= budget:
             return tm
-    raise ValueError(f"grid of {M}x{W} rows too small for planes kernels")
+    return 0
 
 
-def _planes_window(p_hbm, pwin, sems, i, nprog, M, ws, tm):
+def planes2_admits(shape, K: int, radius: int) -> bool:
+    """Can the 2D planes kernels run this (M, W) grid?  One shared gate
+    for the smoother pre-check and the sweep wrappers (the 3D twin is
+    stencil3d.planes3_admits)."""
+    if len(shape) != 2 or radius > 2:
+        return False
+    M, W = shape
+    halo = 24 if radius == 2 else 8
+    return _pick_tm_planes(M, W, K, halo=halo) != 0
+
+
+def _planes_window(p_hbm, pwin, sems, i, nprog, M, ws, tm, halo: int = 8):
     """Double-buffered (K, ws, W) window of the stencil planes."""
     slot = jax.lax.rem(i, jnp.int32(2))
 
     def dma(block, sl):
         return pltpu.make_async_copy(
-            p_hbm.at[:, pl.ds(_win_start(block * tm, M, ws), ws), :],
+            p_hbm.at[:, pl.ds(_win_start(block * tm, M, ws, halo), ws), :],
             pwin.at[sl], sems.at[sl],
         )
 
@@ -416,19 +432,22 @@ def _color_mask_of(gr, gc, color):
     kind, par = color
     if kind == "sum":
         return ((gr + gc) % 2) == par
+    if kind == "mod":
+        mod, p0, p1 = par
+        return ((gr % mod) == p0) & ((gc % mod) == p1)
     return ((gr % 2) == par[0]) & ((gc % 2) == par[1])
 
 
 def _planes_gs_kernel(v_hbm, f_hbm, p_hbm, out_ref, vwin, fwin, pwin, stage,
-                      sems, *, tm, M, W, offs, ci, colors):
+                      sems, *, tm, M, W, offs, ci, colors, halo):
     i = pl.program_id(0)
     r0 = i * tm
-    ws = tm + 16
-    start = _win_start(r0, M, ws)
+    ws = tm + 2 * halo
+    start = _win_start(r0, M, ws, halo)
     nprog = pl.num_programs(0)
-    v = _db_window(v_hbm, vwin, sems.at[0], i, nprog, M, ws, tm)
-    f = _db_window(f_hbm, fwin, sems.at[1], i, nprog, M, ws, tm)
-    p = _planes_window(p_hbm, pwin, sems.at[2], i, nprog, M, ws, tm)
+    v = _db_window(v_hbm, vwin, sems.at[0], i, nprog, M, ws, tm, halo)
+    f = _db_window(f_hbm, fwin, sems.at[1], i, nprog, M, ws, tm, halo)
+    p = _planes_window(p_hbm, pwin, sems.at[2], i, nprog, M, ws, tm, halo)
     gr = start + jax.lax.broadcasted_iota(jnp.int32, (ws, W), 0)
     gc = jax.lax.broadcasted_iota(jnp.int32, (ws, W), 1)
     pc = p[ci]
@@ -450,20 +469,35 @@ def planes_gs_sweep(v, f, planes, offsets, axis_only: bool,
     """One full multicolor GS sweep on an eliminated planes operator —
     kernel version of ops.smoothers.multicolor_gs_smooth (same color
     order: sum-parity red-black for axis-only stencils, the 2^d
-    coordinate-parity classes otherwise)."""
+    coordinate-parity classes for general radius 1, and the 3^2 mod-3
+    classes for radius 2 / P2).  All color stages run inside ONE window
+    pass: each stage invalidates `radius` rows of window edge, so the
+    radius-2 halo is 24 rows (9 stages x 2 = 18, aligned up to 8)."""
     offs = tuple(map(tuple, offsets))
     ci = offs.index((0, 0))
-    if axis_only:
+    radius = max(max(abs(c) for c in o) for o in offs)
+    if radius == 2:
+        colors = tuple(("mod", (3, p0, p1))
+                       for p0 in (0, 1, 2) for p1 in (0, 1, 2))
+        halo = 24
+    elif axis_only:
         colors = (("sum", 0), ("sum", 1))
+        halo = 8
     else:
         colors = tuple(("quad", (p0, p1))
                        for p0 in (0, 1) for p1 in (0, 1))
+        halo = 8
     M, W = v.shape
     K = planes.shape[0]
-    tm = _pick_tm_planes(M, W, K)
-    ws = tm + 16
+    tm = _pick_tm_planes(M, W, K, halo=halo)
+    if tm == 0:
+        raise ValueError(
+            f"planes_gs_sweep: {M}x{W} (K={K}, radius={radius}) does not "
+            "admit the kernel — gate callers on planes2_admits")
+    ws = tm + 2 * halo
     kernel = functools.partial(
-        _planes_gs_kernel, tm=tm, M=M, W=W, offs=offs, ci=ci, colors=colors
+        _planes_gs_kernel, tm=tm, M=M, W=W, offs=offs, ci=ci,
+        colors=colors, halo=halo,
     )
     return pl.pallas_call(
         kernel,
@@ -515,6 +549,10 @@ def planes_jacobi_sweep(v, f, planes, offsets, w: float,
     M, W = v.shape
     K = planes.shape[0]
     tm = _pick_tm_planes(M, W, K)
+    if tm == 0:
+        raise ValueError(
+            f"planes_jacobi_sweep: {M}x{W} (K={K}) does not admit the "
+            "kernel — gate callers on planes2_admits")
     ws = tm + 16
     kernel = functools.partial(
         _planes_jacobi_kernel, tm=tm, M=M, W=W, offs=offs, ci=ci,
@@ -561,6 +599,10 @@ def planes_residual(v, f, planes, offsets, interpret: bool = False):
     M, W = v.shape
     K = planes.shape[0]
     tm = _pick_tm_planes(M, W, K)
+    if tm == 0:
+        raise ValueError(
+            f"planes_residual: {M}x{W} (K={K}) does not admit the "
+            "kernel — gate callers on planes2_admits")
     ws = tm + 16
     kernel = functools.partial(
         _planes_residual_kernel, tm=tm, M=M, W=W, offs=offs

@@ -52,7 +52,9 @@ jax.block_until_ready(rhs)
 def timed(spec, tag):
     t0 = time.time()
     res = solve_batched(hier, spec, rhs)
-    jax.block_until_ready(res.u)
+    # scalar readback — the remote-exec layer is fully async and
+    # block_until_ready returns at dispatch, not completion
+    float(res.u[0, 1, 1, 1])
     print(f"  {tag}: compile+warmup {time.time() - t0:.1f}s "
           f"(cycles {[int(c) for c in res.num_cycles]})",
           file=sys.stderr, flush=True)
@@ -61,7 +63,7 @@ def timed(spec, tag):
     del res
     t0 = time.perf_counter()
     res = solve_batched(hier, spec, rhs * 1.0000001)
-    jax.block_until_ready(res.u)
+    float(res.u[0, 1, 1, 1])
     dt = time.perf_counter() - t0
     del res
     return dt, cycles

@@ -44,7 +44,11 @@ def timed(hier, cyc, k):
 
     t0 = time.time()
     v = run(hier, jnp.zeros_like(hier.finest.b))
-    jax.block_until_ready(v)
+    # scalar readback, not block_until_ready: the remote-exec layer is
+    # fully asynchronous — block_until_ready returns once the call is
+    # *dispatched*, and this script's first numbers (P1 at 2048^2 =
+    # "0.02 ms/cycle") were pure dispatch time.
+    float(v[(1,) * v.ndim])
     print(f"  compile+warmup {time.time() - t0:.1f}s", file=sys.stderr,
           flush=True)
     del v
@@ -54,7 +58,7 @@ def timed(hier, cyc, k):
         vv = jnp.full(hier.finest.b.shape, 1e-6 * (i + 1),
                       hier.finest.b.dtype)
         o = run(hier, vv)
-        jax.block_until_ready(o)
+        float(o[(1,) * o.ndim])
         del vv, o
     return (time.perf_counter() - t0) / reps / k
 
@@ -68,8 +72,12 @@ base2, finest2 = factor_levels(N)
 rhs = -6.0 if NDIM == 2 else -12.0
 cfg_p2 = SolverConfig(
     problem=ProblemSpec(ndim=NDIM, degree=2, rhs_const=rhs),
+    # depth -5: the dense coarse factorization is O(m^3) — at N=1024 a
+    # finest-3 coarsest is a 257^2-DOF dense Cholesky (hours on this
+    # host); one more coarsening level costs ~nothing per cycle and
+    # keeps the setup in seconds.
     hierarchy=HierarchySpec(coarsest_elements=base2,
-                            coarsest_level=max(0, finest2 - 3),
+                            coarsest_level=max(0, finest2 - 5),
                             finest_level=finest2,
                             coarse_operator="galerkin"),
     cycle=cyc, dtype="float32",

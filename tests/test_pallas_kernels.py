@@ -4,6 +4,8 @@ CPU; the same kernels compile via Mosaic on TPU).
 Uses the padded-storage discipline: arrays (M, W) with logical (lm, lm)
 corner, zero padding, rows % 8 == 0, cols % 128 == 0.
 """
+import dataclasses
+
 import numpy as np
 import pytest
 import jax
@@ -982,3 +984,69 @@ def test_fused_chebyshev_phase_matches_jnp():
     assert out4 is not None
     np.testing.assert_allclose(np.asarray(out4), np.asarray(ref4),
                                rtol=0.0, atol=5e-6)
+
+
+# ----------------------------------------------------------------------
+# 2D radius-2 (P2) planes kernels
+# ----------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def lev_p2_2d():
+    cyc = CycleSpec(nu1=2, nu2=2, smoother="rbgs", restriction="pt",
+                    tol=0.0, rtol=1e-5, max_cycles=30, use_pallas=True)
+    cfg = models.poisson2d_p2(finest_level=2, coarsest_level=1,
+                              coarsest_elements=16, dtype="float32",
+                              cycle=cyc)
+    hier = build_hierarchy(cfg)
+    return cfg, hier
+
+
+def test_planes2_radius2_eligibility(lev_p2_2d):
+    cfg, hier = lev_p2_2d
+    fl = hier.finest
+    assert fl.A.radius == 2
+    assert dispatch.pallas_planes_eligible(fl.A, fl.shape, jnp.float32)
+
+
+def test_planes2_radius2_gs_matches_jnp(lev_p2_2d):
+    """Radius-2 (P2) mod-3 multicolor GS through the single-window 2D
+    planes kernel == ops.smoothers.multicolor_gs_smooth: all 9 color
+    stages run inside one 24-row-halo window, so the per-stage edge
+    invalidation (9 stages x radius 2 = 18 rows) never reaches the
+    emitted block."""
+    cfg, hier = lev_p2_2d
+    fl = hier.finest
+    lm = fl.n + 1
+    v = _rand_state(fl.shape, lm, 21)
+    f = fl.b
+    want = multicolor_gs_smooth(fl.sm, fl.A, v, f, 1)
+    got = stencil2d.planes_gs_sweep(v, f, fl.A.planes, fl.A.offsets,
+                                    False, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_planes2_radius2_residual_matches_jnp(lev_p2_2d):
+    cfg, hier = lev_p2_2d
+    fl = hier.finest
+    lm = fl.n + 1
+    v = _rand_state(fl.shape, lm, 22)
+    f = fl.b
+    want = f - fl.A.apply(v)
+    got = stencil2d.planes_residual(v, f, fl.A.planes, fl.A.offsets,
+                                    interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_p2_2d_solve_pallas_matches_jnp_path(lev_p2_2d):
+    """P2 2D solve through the radius-2 planes kernels == jnp path:
+    same cycle count, same solution."""
+    cfg, hier = lev_p2_2d
+    rp = solve(hier, cfg.cycle, mode="tol")
+    cyc_j = dataclasses.replace(cfg.cycle, use_pallas=False)
+    rj = solve(hier, cyc_j, mode="tol")
+    assert bool(rp.converged)
+    assert int(rp.num_cycles) == int(rj.num_cycles)
+    np.testing.assert_allclose(np.asarray(rp.u), np.asarray(rj.u),
+                               rtol=0.0, atol=5e-5)
