@@ -102,7 +102,14 @@ def bench_device(ndim: int, n_elems: int, cycles: int, use_pallas: bool,
 
         bench_arg = mh
     else:
-        hier = build_lean_hierarchy(cfg)
+        # cropped lean storage (solver/hierarchy._crop_points_3d): drops
+        # the masked high-boundary node plane so the lane dim is n, not
+        # roundup(n+1, 128) — at 512^3 that removes the ~20% of every HBM
+        # pass that moved tile padding.  Exact same iteration (bitwise-
+        # equal V-cycle on the stored overlap, tests/test_lean.py).
+        crop = (os.environ.get("MG_BENCH_CROP", "1") == "1"
+                and ndim == 3 and use_pallas)
+        hier = build_lean_hierarchy(cfg, crop_storage=crop)
         jax.block_until_ready(hier.finest.b)
         L = hier.num_levels - 1
 

@@ -199,9 +199,32 @@ def device_level_arrays(
         # lifting: b <- b_raw - A_raw g  (raw stencil, no masking — g is
         # zero away from bc so only near-boundary rows change).  Raw
         # stiffness weights scale with h^(d-2) relative to the prototype.
+        # gp is built from the LOGICAL grid's boundary values, not by
+        # zero-padding the stored g: with cropped storage (pad_points
+        # smaller than the logical grid — solver/hierarchy.py
+        # crop_storage) the high-boundary node planes are not stored, yet
+        # their Dirichlet values must still be lifted into the adjacent
+        # interior rows.  For full storage this reproduces pad(g, r)
+        # exactly.
         wscale = (h * template.proto_n) ** (ndim - 2)
         r = max(max(abs(c) for c in off) for off in template.offsets)
-        gp = jnp.pad(g, [(r, r)] * ndim)
+        gp_shape = tuple(max(s + 2 * r, lm + 2 * r) for s in shape)
+        gp_coords = [
+            (jax.lax.broadcasted_iota(jnp.int32, gp_shape, ax) - r)
+            .astype(dtype) * h
+            for ax in range(ndim)
+        ]
+        gp_inbox = None
+        gp_interior = None
+        for ax in range(ndim):
+            i = jax.lax.broadcasted_iota(jnp.int32, gp_shape, ax) - r
+            inb = (i >= 0) & (i <= lm - 1)
+            intr = (i >= 1) & (i <= lm - 2)
+            gp_inbox = inb if gp_inbox is None else gp_inbox & inb
+            gp_interior = intr if gp_interior is None else gp_interior & intr
+        gp_bc = gp_inbox & (~gp_interior)
+        gp = jnp.where(gp_bc, exact_fn(*gp_coords).astype(dtype),
+                       jnp.zeros(gp_shape, dtype))
         ag = None
         for k, off in enumerate(template.offsets):
             w = template.raw_weights[k] * wscale

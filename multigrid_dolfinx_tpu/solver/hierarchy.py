@@ -380,10 +380,37 @@ def build_hierarchy(
     )
 
 
+def _crop_points_3d(n: int) -> Optional[Tuple[int, int, int]]:
+    """Cropped storage for one 3D lean level, or None if ineligible.
+
+    The logical grid has lm = n+1 nodes per axis; the high-boundary node
+    plane holds only Dirichlet values that every kernel masks away before
+    the stencil math (vt = where(interior, v, 0)) and that the lifted RHS
+    already accounts for (fem.fast_const lifts b from the LOGICAL
+    boundary, not the stored g).  Dropping that plane shrinks the lane
+    dim from roundup(n+1, 128) to n when n is a multiple of 128 — at
+    n = 512 that is 640 -> 512, i.e. ~20% of every HBM pass in the
+    V-cycle was moving tile padding.  Circular in-plane rolls then wrap
+    onto interior-masked values, so no kernel changes are needed; z keeps
+    >= 2 padding slabs (the rolling-sweep prelude's pass-through slab
+    invariant, ops/pallas/stencil3d._rb_prelude).
+
+    Only levels with n >= 128 crop: the fused coarse-tail kernels own the
+    smaller levels and their storage stays byte-identical."""
+    if n < 128 or n % 128 != 0:
+        return None
+
+    def _r(x, m):
+        return ((x + m - 1) // m) * m
+
+    return (_r(n + 1, 8), n if n % 8 == 0 else _r(n + 1, 8), n)
+
+
 def build_lean_hierarchy(
     config: SolverConfig,
     pad_points: Optional[Sequence[Optional[Tuple[int, ...]]]] = None,
     store_g: bool = True,
+    crop_storage: bool = False,
 ) -> Hierarchy:
     """Scale-mode hierarchy for constant-coefficient P1: O(1) host memory.
 
@@ -413,8 +440,9 @@ def build_lean_hierarchy(
                 ]
             else:
                 pad_points = [
-                    (_r(g.points_per_dim, 8), _r(g.points_per_dim, 8),
-                     _r(g.points_per_dim, 128))
+                    (_crop_points_3d(g.n) if crop_storage else None)
+                    or (_r(g.points_per_dim, 8), _r(g.points_per_dim, 8),
+                        _r(g.points_per_dim, 128))
                     for g in grids
                 ]
         else:

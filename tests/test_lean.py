@@ -133,3 +133,63 @@ def test_chunked_quadratic_form_matches_plain():
     # chunk size not dividing evenly into clamped windows at both ends
     got4 = float(_class_quad_chunked(M, u, v, chunk=4))
     np.testing.assert_allclose(got4, want, rtol=1e-12)
+
+
+def test_crop_points_policy():
+    """Cropped lean storage drops the masked high-boundary node plane
+    only when that shrinks a tile dim: x crops to n iff n % 128 == 0,
+    y iff n % 8 == 0, z never (the rolling sweeps' pass-through slab
+    needs >= 2 z-padding slabs, stencil3d._rb_prelude)."""
+    from multigrid_dolfinx_tpu.solver.hierarchy import _crop_points_3d
+
+    assert _crop_points_3d(512) == (520, 512, 512)
+    assert _crop_points_3d(256) == (264, 256, 256)
+    assert _crop_points_3d(128) == (136, 128, 128)
+    # tail-kernel levels keep full storage
+    assert _crop_points_3d(64) is None
+    assert _crop_points_3d(8) is None
+    # non-multiples of 128 gain nothing in the lane dim
+    assert _crop_points_3d(192) is None
+
+
+def test_cropped_storage_vcycle_bitwise_equal():
+    """crop_storage=True stores 513^3 logical grids in (520, 512, 512)
+    instead of (520, 520, 640) — the high-boundary Dirichlet plane is
+    never read by any kernel (vt = where(interior, v, 0) before every
+    neighbor sum) and its lifting into the adjacent interior rows comes
+    from the logical grid (fem.fast_const), so the V-cycle must be
+    BITWISE equal on the stored overlap.  This is the storage mode behind
+    the 512^3 headline bench (bench.py MG_BENCH_CROP)."""
+    from multigrid_dolfinx_tpu.solver.fmg import _fused_residual_norm
+    from multigrid_dolfinx_tpu.solver.vcycle import vcycle
+
+    cyc = CycleSpec(nu1=2, nu2=2, smoother="rbgs", restriction="pt",
+                    tol=0.0, rtol=1e-8, max_cycles=10, use_pallas=True,
+                    track_error=False)
+    cfg = models.poisson3d(finest_level=4, coarsest_level=0,
+                           coarsest_elements=8, dtype="float32", cycle=cyc)
+    h_full = build_lean_hierarchy(cfg)
+    h_crop = build_lean_hierarchy(cfg, crop_storage=True)
+    L = h_full.num_levels - 1
+    assert h_crop.finest.shape == (136, 128, 128)
+    assert h_full.finest.shape == (136, 136, 256)
+
+    bf = np.asarray(h_full.finest.b)
+    bc = np.asarray(h_crop.finest.b)
+    sz, sy, sx = bc.shape
+    np.testing.assert_array_equal(bf[:sz, :sy, :sx], bc)
+
+    vf = vcycle(h_full, cyc, L, jnp.zeros_like(h_full.finest.b),
+                h_full.finest.b)
+    vc = vcycle(h_crop, cyc, L, jnp.zeros_like(h_crop.finest.b),
+                h_crop.finest.b)
+    np.testing.assert_array_equal(np.asarray(vf)[:sz, :sy, :sx],
+                                  np.asarray(vc))
+
+    # the fused FEM-L2 residual norm (the tolerance check) agrees too:
+    # after one cycle the stored boundary rows hold v = f exactly, so the
+    # cropped plane's (zero) residual contribution matches the full one
+    nf = _fused_residual_norm(h_full, cyc, vf, h_full.finest.b)
+    nc = _fused_residual_norm(h_crop, cyc, vc, h_crop.finest.b)
+    assert nf is not None and nc is not None
+    np.testing.assert_allclose(float(nf), float(nc), rtol=1e-6)
