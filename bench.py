@@ -105,8 +105,13 @@ def bench_device(ndim: int, n_elems: int, cycles: int, use_pallas: bool,
         # cropped lean storage (solver/hierarchy._crop_points_3d): drops
         # the masked high-boundary node plane so the lane dim is n, not
         # roundup(n+1, 128) — at 512^3 that removes the ~20% of every HBM
-        # pass that moved tile padding.  Exact same iteration (bitwise-
-        # equal V-cycle on the stored overlap, tests/test_lean.py).
+        # pass that moved tile padding.  Bitwise-equal V-cycle on the
+        # stored overlap, fused FEM-L2 norm extended to the cropped
+        # layout, rtol threshold from the exact full-storage rn_ref
+        # precomputed at build, FMG ramp reconstructs the missing planes
+        # analytically (tests/test_lean.py::
+        # test_cropped_storage_vcycle_bitwise_equal and
+        # test_cropped_tolerance_solve_matches_full).
         crop = (os.environ.get("MG_BENCH_CROP", "1") == "1"
                 and ndim == 3 and use_pallas)
         hier = build_lean_hierarchy(cfg, crop_storage=crop)

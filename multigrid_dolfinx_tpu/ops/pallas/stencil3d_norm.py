@@ -192,7 +192,8 @@ def _norm_kernel(zb_ref, t_ref, v_hbm, f_hbm, out_ref, vwin, fwin,
 
 def _tet_norm_kernel(zb_ref, v_hbm, f_hbm, out_ref, vwin, fwin,
                      vnew, fnew, ttmp, sems, *,
-                     Mz, My, Mx, lm, tz, wc, woff, tets, counts):
+                     Mz, My, Mx, lm, tz, wc, woff, tets, counts,
+                     crop_y=False, crop_x=False):
     """q_raw = sum_{cells} [ sum_{6 tets} (sum_{4 corners} r)^2
                              + sum_{corners} count * r^2 ]
     with r the unmasked residual derived in-window from (v, f) — the
@@ -202,7 +203,18 @@ def _tet_norm_kernel(zb_ref, v_hbm, f_hbm, out_ref, vwin, fwin,
     anchored at their low corner; each block owns the anchors of its
     output slabs, so every cell is counted exactly once and NO
     boundary-shell correction exists (the per-tet sum IS the boundary
-    handling)."""
+    handling).
+
+    crop_y / crop_x: cropped lean storage (solver/hierarchy.
+    _crop_points_3d) drops the high-boundary Dirichlet node plane, so
+    My (Mx) == lm - 1 and the +1 corner rolls at the last stored row
+    (col) wrap onto row (col) 0 instead of the missing plane.  Those
+    corners are masked to r = 0 — the same zero-extension the plain
+    class-table path applies (jnp.pad in StencilOperator.
+    _apply_class_tables), so fused and plain norms agree bitwise on
+    cropped storage; they equal the full-storage norm whenever the
+    missing plane's residual vanishes (GS-family smoothers leave
+    boundary rows with v = f after every sweep)."""
     h = 2
     i = pl.program_id(0)
     nprog = pl.num_programs(0)
@@ -300,6 +312,16 @@ def _tet_norm_kernel(zb_ref, v_hbm, f_hbm, out_ref, vwin, fwin,
                 ry = _roll(r, -1, 0)
                 rx = _roll(r, -1, 1)
                 rxy = _roll(ry, -1, 1)
+                if crop_y:
+                    # +y corner at the last stored row lives on the
+                    # missing Dirichlet plane: r = 0 there.
+                    oky = y < My - 1
+                    ry = jnp.where(oky, ry, zero)
+                    rxy = jnp.where(oky, rxy, zero)
+                if crop_x:
+                    okx = x < Mx - 1
+                    rx = jnp.where(okx, rx, zero)
+                    rxy = jnp.where(okx, rxy, zero)
                 quads[s] = (r, rx, ry, rxy)   # index by dy*2 + dx
 
             def corner(s, dz, dy, dx):
@@ -354,12 +376,22 @@ def residual_tet_quad(v, f, lm, wc, woff, diagonal,
     ~7 relayout ops per slab (vs ~20 table-correlation rolls in
     _norm_kernel, which measured compute-bound at 286 ms vs 35 ms plain
     at 512^3 on v5e).  Returns the scalar, or None when the shape
-    doesn't admit the kernel."""
+    doesn't admit the kernel.
+
+    Accepted y/x layouts per axis: padded (M >= lm + 1, rolled reads
+    land in >= 1 zero row/col) or cropped (M == lm - 1, the missing
+    high-boundary plane's residual is taken as 0 — see
+    _tet_norm_kernel's crop note).  z must hold the full logical extent
+    (cropping never applies to z, solver/hierarchy._crop_points_3d)."""
     Mz, My, Mx = v.shape
-    if My % 8 or Mx % 128 or lm > min(Mz, My, Mx):
+    if My % 8 or Mx % 128 or Mz < lm:
         return None
-    if My - lm < 1 or Mx - lm < 1:
-        return None      # rolled reads rely on >= 1 zero pad row/col
+    if not (My >= lm + 1 or My == lm - 1):
+        return None      # padded rolls rely on >= 1 zero row/col
+    if not (Mx >= lm + 1 or Mx == lm - 1):
+        return None
+    crop_y = My == lm - 1
+    crop_x = Mx == lm - 1
     tz = _pick_tz_tet(Mz, My, Mx)
     if tz == 0 or Mz // tz < 2:
         return None
@@ -377,6 +409,7 @@ def residual_tet_quad(v, f, lm, wc, woff, diagonal,
     kernel = functools.partial(
         _tet_norm_kernel, Mz=Mz, My=My, Mx=Mx, lm=lm, tz=tz,
         wc=float(wc), woff=float(woff), tets=tets, counts=counts,
+        crop_y=crop_y, crop_x=crop_x,
     )
     zb = jnp.zeros((1, 1), jnp.int32)
     nblocks = Mz // tz

@@ -25,6 +25,7 @@ from .sharding import (
 from .halo import build_halo_solver
 from .halo3d import (
     build_halo_cycler3d,
+    build_halo_mgcg3d,
     build_halo_solver3d,
     make_distributed_jacobi_smoother,
     make_distributed_rb_smoother,
@@ -38,6 +39,7 @@ __all__ = [
     "make_device_mesh",
     "build_halo_solver",
     "build_halo_cycler3d",
+    "build_halo_mgcg3d",
     "build_halo_solver3d",
     "make_distributed_jacobi_smoother",
     "make_distributed_rb_smoother",

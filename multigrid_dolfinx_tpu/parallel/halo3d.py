@@ -335,7 +335,7 @@ def build_halo_solver3d(config: SolverConfig, mesh: Mesh):
     V-cycle solve (FMG start + tolerance loop) under one shard_map.
     solve_fn(hier) -> (u_global, num_cycles, converged); u_global is
     z-sharded with the fine level's padded shape."""
-    hier, solve_fn, _ = _build_halo3d(config, mesh)
+    hier, solve_fn, _, _ = _build_halo3d(config, mesh)
     return hier, solve_fn
 
 
@@ -345,8 +345,19 @@ def build_halo_cycler3d(config: SolverConfig, mesh: Mesh, cycles: int):
     the benchmarking entry matching bench.py's k_cycles loop, so the
     distributed per-V-cycle time is directly comparable to the
     single-chip number."""
-    hier, _, cycle_fn = _build_halo3d(config, mesh, bench_cycles=cycles)
+    hier, _, cycle_fn, _ = _build_halo3d(config, mesh, bench_cycles=cycles)
     return hier, cycle_fn
+
+
+def build_halo_mgcg3d(config: SolverConfig, mesh: Mesh):
+    """Returns (hierarchy, mgcg_fn): the distributed flexible MG-CG solve
+    (FMG start + CG with the z-decomposed V-cycle as preconditioner,
+    psum dot-products) under one shard_map — the multi-chip half of
+    BASELINE config 5.  mgcg_fn(hier) -> (u_global, num_iters,
+    converged, res_hist); iteration counts match solver.krylov.mgcg_solve
+    on a single device (tests/test_halo3d.py)."""
+    hier, _, _, mgcg_fn = _build_halo3d(config, mesh)
+    return hier, mgcg_fn
 
 
 def _build_halo3d(config: SolverConfig, mesh: Mesh,
@@ -762,6 +773,75 @@ def _build_halo3d(config: SolverConfig, mesh: Mesh,
         return jax.lax.fori_loop(
             0, bench_cycles, lambda i, vv: vcycle(L, vv, f), v0)
 
+    def local_mgcg(bs, coarse_factor, m_tables):
+        # distributed flexible MG-CG — the z-decomposed V-cycle as the
+        # preconditioner, psum dot-products, FEM-L2 norm check; mirrors
+        # solver.krylov.mgcg_solve step for step so iteration counts
+        # match the single-device solver (BASELINE config 5 substrate).
+        coarse_solve, prolong_up, vcycle, residual, res_norm = \
+            make_local_ops(coarse_factor, m_tables)
+
+        # FMG start = mgcg_solve(fmg_start=True): fixed mode with mu0=1,
+        # one V-cycle at every level including the finest.
+        v = coarse_solve(bs[0])
+        for li in range(1, L + 1):
+            v = prolong_up(li, v)
+            v = vcycle(li, v, bs[li])
+        x0 = v
+        f = bs[L]
+
+        def dot(a, b):
+            part = jnp.sum(a * b)
+            return jax.lax.psum(part, ax) if s <= L else part
+
+        def apply_A(p):
+            # A p = p - (f - A p) with f == p: one residual pass;
+            # identity boundary rows give p, padding rows p - 0 = p
+            # (p is zero there by the solver invariants).
+            return p - residual(L, p, p)
+
+        def precond(r):
+            return vcycle(L, jnp.zeros_like(r), r)
+
+        def check_norm(x):
+            return res_norm(residual(L, x, f))
+
+        r0 = residual(L, x0, f)
+        z0 = precond(r0)
+        rn_ref = check_norm(jnp.zeros_like(f))
+        hist0 = jnp.full((spec.max_cycles,), jnp.nan, v.dtype)
+
+        def body(carry):
+            x, r, z, p, rz, k, _, _, hist = carry
+            Ap = apply_A(p)
+            alpha = rz / dot(p, Ap)
+            x = x + alpha * p
+            r_new = r - alpha * Ap
+            z_new = precond(r_new)
+            # flexible (Polak-Ribiere) beta — robust to the mildly
+            # nonsymmetric multicolor-GS V-cycle preconditioner
+            beta = dot(z_new, r_new - r) / rz
+            p = z_new + beta * p
+            rz_new = dot(r_new, z_new)
+            rn = check_norm(x)
+            hist = hist.at[k].set(rn)
+            conv = rn <= spec.tol
+            if spec.rtol > 0.0:
+                conv = conv | (rn <= spec.rtol * rn_ref)
+            div = ~jnp.isfinite(rn)
+            return (x, r_new, z_new, p, rz_new, k + 1, conv, div, hist)
+
+        def cg_cond(carry):
+            _, _, _, _, _, k, conv, div, _ = carry
+            return (~conv) & (~div) & (k < spec.max_cycles)
+
+        rz0 = dot(r0, z0)
+        x, _, _, _, _, k, conv, _, hist = jax.lax.while_loop(
+            cg_cond, body,
+            (x0, r0, z0, z0, rz0, jnp.array(0, jnp.int32),
+             jnp.array(False), jnp.array(False), hist0))
+        return x, k, conv, hist
+
     bspecs = [P(ax) if i >= s else P() for i in range(len(plan))]
     kwargs = dict(
         mesh=mesh,
@@ -794,9 +874,10 @@ def _build_halo3d(config: SolverConfig, mesh: Mesh,
     tables = jnp.asarray(m_op.class_tables)
     inner = jax.jit(fn)
 
-    def solve_fn(h: Hierarchy):
+    def _global_inputs(h: Hierarchy):
         bs = [lv.b for lv in h.levels]
         factor = h.coarse.factor
+        tbl = tables
         if jax.process_count() > 1:
             # multi-controller runtime (parallel.multihost): inputs must be
             # GLOBAL arrays over the (possibly multi-host) mesh — each
@@ -813,10 +894,21 @@ def _build_halo3d(config: SolverConfig, mesh: Mesh,
                                     NamedSharding(mesh, P()))
             tbl = jax.device_put(np.asarray(tables),
                                  NamedSharding(mesh, P()))
-            return inner(bs, factor, tbl)
-        return inner(bs, factor, tables)
+        return bs, factor, tbl
 
-    return hier, solve_fn, cycle_fn
+    def solve_fn(h: Hierarchy):
+        return inner(*_global_inputs(h))
+
+    try:
+        gfn = shard_map(local_mgcg, check_vma=False, **kwargs)
+    except TypeError:  # pragma: no cover - older jax spelling
+        gfn = shard_map(local_mgcg, check_rep=False, **kwargs)
+    ginner = jax.jit(gfn)
+
+    def mgcg_fn(h: Hierarchy):
+        return ginner(*_global_inputs(h))
+
+    return hier, solve_fn, cycle_fn, mgcg_fn
 
 
 def make_distributed_jacobi_smoother(

@@ -67,6 +67,24 @@ def error_norm(hier: Hierarchy, u: jax.Array) -> jax.Array:
     st = eq.stride
     nc = eq.ncells                       # logical element cells per dim
     ndim = u.ndim
+    lm = st * nc + 1
+    if any(s < lm for s in u.shape):
+        # Cropped lean storage: the missing high-boundary Dirichlet plane
+        # holds u = uD = u* exactly (GS-family smoothers set boundary rows
+        # to f = g each sweep), so reconstruct it analytically before the
+        # quadrature slabs slice up to index lm-1.
+        cropped = [a for a in range(ndim) if u.shape[a] < lm]
+        u = jnp.pad(u, [(0, max(0, lm - s)) for s in u.shape])
+        coords = [
+            jax.lax.broadcasted_iota(jnp.int32, u.shape, a).astype(u.dtype)
+            * (eq.h / st) for a in range(ndim)
+        ]
+        missing = None
+        for a in cropped:
+            i = jax.lax.broadcasted_iota(jnp.int32, u.shape, a)
+            mm = i == lm - 1
+            missing = mm if missing is None else missing | mm
+        u = jnp.where(missing, eq.exact_fn(*coords).astype(u.dtype), u)
     cshape = (nc,) * ndim
     # u*(x_q) is evaluated on the fly: x_q = cell_index*h + xq_local, with
     # cell indices from broadcasted_iota — zero stored bytes (the round-1
@@ -165,8 +183,14 @@ def tolerance_solve(
     # rtol is measured against the residual of the zero iterate (i.e.
     # ||b||-ish), NOT the post-FMG starting residual — FMG already lands
     # near the discretization floor, so a further 1e-6 relative drop from
-    # there would be unreachable.
-    rn_ref = check_norm(jnp.zeros_like(v0))
+    # there would be unreachable.  Cropped hierarchies carry the exact
+    # full-storage value precomputed at build time (the cropped arrays
+    # cannot see the missing boundary planes' r = b contribution), valid
+    # only for the hierarchy's own RHS.
+    if hier.rn_ref is not None and f is hier.finest.b:
+        rn_ref = hier.rn_ref
+    else:
+        rn_ref = check_norm(jnp.zeros_like(v0))
 
     def body(carry):
         v, k, _, _, rn0, res_h, err_h = carry
@@ -205,6 +229,52 @@ def tolerance_solve(
     )
 
 
+def _ramp_prolong(hier: Hierarchy, li: int, v, spec: CycleSpec):
+    """The FMG ramp's SOLUTION prolongation from level li-1 to li.
+
+    Unlike the V-cycle's correction prolongation (whose boundary values
+    are zero by construction), the ramp carries nonzero Dirichlet values.
+    Under cropped lean storage the coarse level's high-boundary planes are
+    not stored, so prolonging the raw array would feed zeros where uD
+    belongs and degrade the FMG initial guess near the high faces
+    (ADVICE r3).  Reconstruct them analytically — GS-family smoothers
+    leave boundary rows holding exactly f = g = uD after every sweep —
+    and prolong on the logical box (plain path; runs once per level per
+    solve, not per cycle)."""
+    lo, hi = hier.levels[li - 1], hier.levels[li]
+    m_lo, m_hi = lo.n + 1, hi.n + 1
+    lo_cropped = any(s < m_lo for s in lo.shape)
+    hi_cropped = any(s < m_hi for s in hi.shape)
+    if not (lo_cropped or hi_cropped):
+        return prolong_level(v, lo, hi, spec.prolongation,
+                             use_pallas=spec.use_pallas)
+    from ..ops import transfer
+    from .vcycle import pad_to
+
+    vbox = v[tuple(slice(0, min(m_lo, s)) for s in v.shape)]
+    stored = vbox.shape
+    vfull = pad_to(vbox, (m_lo,) * v.ndim)
+    if lo_cropped and hier.err_quad is not None:
+        h_lo = 1.0 / lo.n
+        coords = [
+            jax.lax.broadcasted_iota(jnp.int32, vfull.shape, a)
+            .astype(v.dtype) * h_lo
+            for a in range(v.ndim)
+        ]
+        missing = None
+        for a in range(v.ndim):
+            if stored[a] < m_lo:
+                i = jax.lax.broadcasted_iota(jnp.int32, vfull.shape, a)
+                mm = i >= stored[a]
+                missing = mm if missing is None else missing | mm
+        uD = hier.err_quad.exact_fn(*coords).astype(v.dtype)
+        vfull = jnp.where(missing, uD, vfull)
+    e = transfer.prolong(vfull, spec.prolongation, hi.diagonal)
+    box = tuple(slice(0, min(m_hi, s)) for s in hi.shape)
+    out = jnp.zeros(hi.shape, v.dtype)
+    return out.at[box].set(e[tuple(slice(0, b.stop) for b in box)])
+
+
 def fmg_solve(
     hier: Hierarchy,
     spec: CycleSpec,
@@ -239,8 +309,7 @@ def fmg_solve(
         return (res, debug) if collect_debug else res
 
     for li in range(1, nlev):
-        v = prolong_level(v, hier.levels[li - 1], hier.levels[li],
-                          spec.prolongation, use_pallas=spec.use_pallas)
+        v = _ramp_prolong(hier, li, v, spec)
         f = hier.levels[li].b
         is_finest = li == nlev - 1
         if not is_finest or mode == "fixed":

@@ -95,7 +95,7 @@ class ErrorQuad:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["levels", "coarse", "M_fine", "err_quad"],
+    data_fields=["levels", "coarse", "M_fine", "err_quad", "rn_ref"],
     meta_fields=[],
 )
 @dataclasses.dataclass(frozen=True)
@@ -104,12 +104,21 @@ class Hierarchy:
 
     M_fine / err_quad power the finest-level FEM-L2 residual and error
     norms (replacing reference res_calculator / err_calculator,
-    multigrid.py:203-218)."""
+    multigrid.py:203-218).
+
+    rn_ref: only set by crop_storage builds — the EXACT full-storage
+    FEM-L2 residual norm of the zero iterate ||b - A*0||_M, computed at
+    build time on a transient full-layout b (the cropped arrays cannot
+    see the missing high-boundary planes' r = b contribution, an
+    O(surface) term that would otherwise shift the rtol threshold vs
+    full storage — ADVICE r3).  tolerance_solve uses it so cropped and
+    full hierarchies stop after identical cycle counts."""
 
     levels: Tuple[Level, ...]
     coarse: CoarseSolver
     M_fine: StencilOperator
     err_quad: ErrorQuad
+    rn_ref: Optional[jax.Array] = None
 
     @property
     def num_levels(self) -> int:
@@ -118,6 +127,14 @@ class Hierarchy:
     @property
     def finest(self) -> Level:
         return self.levels[-1]
+
+    @property
+    def is_cropped(self) -> bool:
+        """True when any level uses cropped lean storage (stored extent
+        smaller than the logical (n+1)^d box along some axis)."""
+        return any(
+            s < lv.n + 1 for lv in self.levels for s in lv.shape
+        )
 
 
 def const_lmax_dirichlet(offsets, weights, n: int):
@@ -403,7 +420,8 @@ def _crop_points_3d(n: int) -> Optional[Tuple[int, int, int]]:
     def _r(x, m):
         return ((x + m - 1) // m) * m
 
-    return (_r(n + 1, 8), n if n % 8 == 0 else _r(n + 1, 8), n)
+    # n % 128 == 0 implies n % 8 == 0, so the y axis always crops too.
+    return (_r(n + 1, 8), n, n)
 
 
 def build_lean_hierarchy(
@@ -523,12 +541,60 @@ def build_lean_hierarchy(
     # so lean hierarchies keep it — reference err_calculator semantics
     # (multigrid.py:213-218) at 100M+ DOF for zero HBM.
     eq = error_quadrature(grids[-1], config.problem)
+
+    # Cropped storage cannot see the missing high-boundary planes' r = b
+    # contribution to ||b - A*0||_M, so the rtol threshold would differ
+    # from full storage by an O(surface) term (ADVICE r3).  Compute the
+    # EXACT full-storage reference norm once at build time on a transient
+    # full-layout b (freed immediately; ~0.7 GB for one fine array at
+    # 512^3) through the same fused kernel full-storage solves use, so
+    # cropped and full tolerance solves stop after identical cycle counts.
+    rn_ref = None
+    if any(s < g_f.points_per_dim for s in levels[-1].shape):
+        rn_ref = _full_layout_rn_ref(
+            template, g_f, config.problem, dtype, levels[-1], M_fine
+        )
+
     return Hierarchy(
         levels=tuple(levels),
         coarse=coarse,
         M_fine=M_fine,
         err_quad=ErrorQuad.from_quadrature(eq),
+        rn_ref=rn_ref,
     )
+
+
+def _full_layout_rn_ref(template, grid, problem, dtype, fine_level, M_fine):
+    """||b - A*0||_M on a transient FULL-layout fine b — the zero-iterate
+    residual norm full storage would report (r == b in-box: f - Av on
+    interior rows with v = 0, f - v on boundary rows).  Uses the same
+    residual_tet_quad kernel with the same weights as
+    solver.fmg._fused_residual_norm, so the stored scalar is bitwise what
+    a full-storage check_norm(0) computes."""
+    from ..fem.fast_const import device_level_arrays
+    from ..ops import dispatch
+
+    def _r(x, m):
+        return ((x + m - 1) // m) * m
+
+    lm = grid.points_per_dim
+    full_pp = (_r(lm, 8), _r(lm, 8), _r(lm, 128))
+    b_full, _ = device_level_arrays(template, grid, problem, dtype, full_pp)
+    w = dispatch.const7_weights(fine_level.A)
+    q = None
+    if w is not None and M_fine.uniform_p1_mass in ("right", "left"):
+        from ..ops.pallas import stencil3d_norm
+
+        q = stencil3d_norm.residual_tet_quad(
+            jnp.zeros_like(b_full), b_full, lm, w[0], w[1],
+            M_fine.uniform_p1_mass, interpret=dispatch.interpret_mode(),
+        )
+    if q is not None:
+        return jnp.sqrt(jnp.maximum(q, 0.0)).astype(dtype)
+    from ..ops.operators import mass_norm
+
+    M_full = dataclasses.replace(M_fine, grid_shape=full_pp)
+    return mass_norm(M_full, b_full).astype(dtype)
 
 def build_var_hierarchy(
     config: SolverConfig,

@@ -18,9 +18,9 @@ import jax
 import jax.numpy as jnp
 
 from ..config import CycleSpec
-from .fmg import fmg_solve, residual_norm
+from .fmg import _fused_residual_norm, fmg_solve, residual_norm
 from .hierarchy import Hierarchy
-from .vcycle import vcycle
+from .vcycle import compute_residual, vcycle
 
 
 class CGResult(NamedTuple):
@@ -39,7 +39,25 @@ def mgcg_solve(
     """Flexible MG-preconditioned CG on the finest level.
 
     fmg_start=True seeds CG with one Full-Multigrid pass (nested iteration)
-    so the Krylov loop starts at discretization-error accuracy."""
+    so the Krylov loop starts at discretization-error accuracy.
+
+    At-scale fast paths (the capstone BASELINE config 5 runs this at
+    512^3 = 135M DOFs):
+
+      * A p through the fused Pallas residual kernel as
+        p - (p - A p) — one rolling pass instead of the plain padded
+        15-slice matvec (~2.4 ms vs ~50 ms at 512^3).  Boundary
+        (identity) rows give p - 0 = p, padding rows p, both exact
+        because p is zero there by the solver invariants (every term
+        feeding p is a residual/V-cycle output, zero outside the box).
+      * the per-iteration convergence check recomputes ||b - A x||_M
+        with the fused per-tetrahedron norm kernel (6.3 ms vs ~35 ms
+        plain at 512^3) — the same check tolerance_solve uses, so
+        rtol semantics match the plain V-cycle loop's.
+
+    Stops at rn <= tol OR rn <= rtol * ||b - A*0||_M (when rtol > 0),
+    mirroring solver.fmg.tolerance_solve; cropped hierarchies use their
+    exact build-time full-storage rn_ref."""
     L = hier.num_levels - 1
     lv = hier.finest
     A = lv.A
@@ -56,14 +74,36 @@ def mgcg_solve(
     def precond(r):
         return vcycle(hier, spec, L, jnp.zeros_like(r), r)
 
-    r0 = f - A.apply(x0)
+    def apply_A(p):
+        if spec.use_pallas:
+            from ..ops import dispatch
+
+            if dispatch.pallas_eligible(A, p.shape, p.dtype):
+                return p - compute_residual(lv, p, p, use_pallas=True)
+        return A.apply(p)
+
+    def check_norm(x):
+        rn = _fused_residual_norm(hier, spec, x, f)
+        if rn is not None:
+            return rn
+        return residual_norm(
+            hier, compute_residual(lv, x, f, use_pallas=spec.use_pallas))
+
+    r0 = compute_residual(lv, x0, f, use_pallas=spec.use_pallas)
     z0 = precond(r0)
     nan = jnp.array(jnp.nan, dtype=dtype)
     hist0 = jnp.full((max_it,), nan, dtype=dtype)
+    if spec.rtol > 0.0:
+        if hier.rn_ref is not None:
+            rn_ref = hier.rn_ref
+        else:
+            rn_ref = check_norm(jnp.zeros_like(f))
+    else:
+        rn_ref = jnp.array(jnp.inf, dtype=dtype)
 
     def body(carry):
         x, r, z, p, rz, k, _, _, hist = carry
-        Ap = A.apply(p)
+        Ap = apply_A(p)
         pAp = jnp.sum(p * Ap)
         alpha = rz / pAp
         x = x + alpha * p
@@ -73,9 +113,11 @@ def mgcg_solve(
         beta = jnp.sum(z_new * (r_new - r)) / rz
         p = z_new + beta * p
         rz_new = jnp.sum(r_new * z_new)
-        rn = residual_norm(hier, r_new)
+        rn = check_norm(x)
         hist = hist.at[k].set(rn)
         converged = rn <= spec.tol
+        if spec.rtol > 0.0:
+            converged = converged | (rn <= spec.rtol * rn_ref)
         diverged = ~jnp.isfinite(rn)
         return (x, r_new, z_new, p, rz_new, k + 1, converged, diverged, hist)
 

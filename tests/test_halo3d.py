@@ -171,3 +171,50 @@ def test_halo3d_reference_restriction_kinds(kind):
         np.asarray(u)[:lm, :lm, :lm], np.asarray(r1.u)[:lm, :lm, :lm],
         rtol=1e-11, atol=1e-12,
     )
+
+
+# ----------------------------------------------------------------------
+# Distributed MG-CG (BASELINE config 5's multi-chip half)
+# ----------------------------------------------------------------------
+
+@requires_8_devices
+@pytest.mark.isolate
+@pytest.mark.parametrize("dtype,utol,pallas,rtol", [
+    ("float64", 1e-11, False, 1e-8),
+    # f32: 1e-8 relative residual sits below f32 roundoff — CG stagnates
+    # and rz underflows to NaN (single- and multi-device alike), so the
+    # f32 leg stops at an attainable 1e-5.
+    ("float32", 2e-5, True, 1e-5),
+])
+def test_distributed_mgcg_matches_single_device(dtype, utol, pallas, rtol):
+    """The z-decomposed flexible MG-CG (FMG start, distributed V-cycle
+    preconditioner, psum dot-products, FEM-L2 norm check) reproduces the
+    single-device solver.krylov.mgcg_solve: identical iteration counts,
+    matching residual histories, u to roundoff."""
+    from multigrid_dolfinx_tpu import models
+    from multigrid_dolfinx_tpu.config import CycleSpec
+    from multigrid_dolfinx_tpu.parallel.halo3d import build_halo_mgcg3d
+    from multigrid_dolfinx_tpu.solver.hierarchy import build_lean_hierarchy
+    from multigrid_dolfinx_tpu.solver.krylov import solve_mgcg
+
+    cyc = CycleSpec(nu1=2, nu2=2, smoother="rbgs", restriction="pt",
+                    tol=0.0, rtol=rtol, max_cycles=30, use_pallas=pallas)
+    cfg = models.poisson3d(finest_level=3, coarsest_level=1,
+                           coarsest_elements=4, dtype=dtype, cycle=cyc)
+    r1 = solve_mgcg(build_lean_hierarchy(cfg), cyc, fmg_start=True)
+    assert bool(r1.converged)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("gz",))
+    hier, mgcg_fn = build_halo_mgcg3d(cfg, mesh)
+    u, k, conv, hist = mgcg_fn(hier)
+
+    assert bool(conv)
+    assert int(k) == int(r1.num_iters)
+    kk = int(k)
+    np.testing.assert_allclose(np.asarray(hist)[:kk],
+                               np.asarray(r1.res_hist)[:kk],
+                               rtol=5e-4 if dtype == "float32" else 1e-9)
+    m = cfg.hierarchy.elements_at(cfg.hierarchy.finest_level) + 1
+    np.testing.assert_allclose(np.asarray(u)[:m, :m, :m],
+                               np.asarray(r1.u)[:m, :m, :m],
+                               rtol=utol, atol=utol)

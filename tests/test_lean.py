@@ -193,3 +193,78 @@ def test_cropped_storage_vcycle_bitwise_equal():
     nc = _fused_residual_norm(h_crop, cyc, vc, h_crop.finest.b)
     assert nf is not None and nc is not None
     np.testing.assert_allclose(float(nf), float(nc), rtol=1e-6)
+
+
+def _crop_cfg(rtol=1e-6, track_error=False, max_cycles=12):
+    cyc = CycleSpec(nu1=2, nu2=2, smoother="rbgs", restriction="pt",
+                    tol=0.0, rtol=rtol, max_cycles=max_cycles,
+                    use_pallas=True, track_error=track_error)
+    return models.poisson3d(finest_level=4, coarsest_level=0,
+                            coarsest_elements=8, dtype="float32",
+                            cycle=cyc), cyc
+
+
+def test_cropped_fused_norm_matches_plain_for_any_iterate():
+    """On cropped storage the fused tet-norm kernel and the plain
+    class-table path share one semantics — r := 0 on the missing
+    high-boundary planes (the plain path zero-extends via jnp.pad) —
+    for ARBITRARY iterates, not just post-smoothing ones."""
+    from multigrid_dolfinx_tpu.ops.operators import mass_norm
+    from multigrid_dolfinx_tpu.solver.fmg import _fused_residual_norm
+    from multigrid_dolfinx_tpu.solver.vcycle import compute_residual
+
+    cfg, cyc = _crop_cfg()
+    h = build_lean_hierarchy(cfg, crop_storage=True)
+    rng = np.random.default_rng(7)
+    v = jnp.asarray(rng.standard_normal(h.finest.shape), jnp.float32)
+    nf = _fused_residual_norm(h, cyc, v, h.finest.b)
+    assert nf is not None
+    r = compute_residual(h.finest, v, h.finest.b, use_pallas=False)
+    np.testing.assert_allclose(float(nf), float(mass_norm(h.M_fine, r)),
+                               rtol=2e-5)
+
+
+def test_cropped_rn_ref_is_exact_full_storage_value():
+    """crop builds precompute ||b - A*0||_M on a transient FULL layout —
+    bitwise what a full-storage check_norm(0) computes — because the
+    cropped arrays cannot see the missing planes' r = b contribution
+    (the O(surface) rtol-threshold drift flagged in ADVICE r3)."""
+    from multigrid_dolfinx_tpu.solver.fmg import _fused_residual_norm
+
+    cfg, cyc = _crop_cfg()
+    h_full = build_lean_hierarchy(cfg)
+    h_crop = build_lean_hierarchy(cfg, crop_storage=True)
+    assert h_full.rn_ref is None and h_crop.rn_ref is not None
+    ref_full = _fused_residual_norm(
+        h_full, cyc, jnp.zeros_like(h_full.finest.b), h_full.finest.b)
+    assert ref_full is not None
+    np.testing.assert_array_equal(np.asarray(h_crop.rn_ref),
+                                  np.asarray(ref_full))
+    # and it is strictly larger than the cropped-view norm (the missing
+    # planes carry r = b = uD != 0 for the zero iterate)
+    nc = _fused_residual_norm(
+        h_crop, cyc, jnp.zeros_like(h_crop.finest.b), h_crop.finest.b)
+    assert float(h_crop.rn_ref) > float(nc)
+
+
+def test_cropped_tolerance_solve_matches_full():
+    """End-to-end: FMG + tolerance solve on cropped storage stops after
+    the IDENTICAL cycle count as full storage, with matching residual
+    histories and the same solution on the stored overlap — including
+    track_error (error_norm reconstructs the missing plane
+    analytically) and the crop-aware FMG ramp."""
+    cfg, cyc = _crop_cfg(track_error=True)
+    h_full = build_lean_hierarchy(cfg)
+    h_crop = build_lean_hierarchy(cfg, crop_storage=True)
+    r_full = solve(h_full, cyc, mode="tol")
+    r_crop = solve(h_crop, cyc, mode="tol")
+    assert int(r_full.num_cycles) == int(r_crop.num_cycles)
+    assert bool(r_crop.converged)
+    k = int(r_full.num_cycles)
+    np.testing.assert_allclose(np.asarray(r_full.res_hist[:k]),
+                               np.asarray(r_crop.res_hist[:k]), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(r_full.err_hist[:k]),
+                               np.asarray(r_crop.err_hist[:k]), rtol=1e-4)
+    sz, sy, sx = r_crop.u.shape
+    np.testing.assert_allclose(np.asarray(r_full.u)[:sz, :sy, :sx],
+                               np.asarray(r_crop.u), rtol=1e-5, atol=1e-6)
