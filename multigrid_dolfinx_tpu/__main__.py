@@ -121,10 +121,24 @@ def cmd_solve(args) -> int:
 
         ndev = args.shard_devices or len(_jax.devices())
         if args.shard == "halo3d":
-            from .parallel.halo3d import build_halo_solver3d
-
             mesh = Mesh(_np.array(_jax.devices()[:ndev]), ("gz",))
-            hier, dist_solve = build_halo_solver3d(cfg, mesh)
+            if args.resume:
+                from .parallel.halo3d import build_halo_resume3d
+                from .utils.checkpoint import load_halo_checkpoint
+
+                hier, dist_resume = build_halo_resume3d(cfg, mesh)
+                u0, k0, hist0 = load_halo_checkpoint(args.resume, cfg)
+
+                def dist_solve(h):
+                    return dist_resume(h, u0, k0, hist0)
+            elif args.mgcg:
+                from .parallel.halo3d import build_halo_mgcg3d
+
+                hier, dist_solve = build_halo_mgcg3d(cfg, mesh)
+            else:
+                from .parallel.halo3d import build_halo_solver3d
+
+                hier, dist_solve = build_halo_solver3d(cfg, mesh)
         else:
             from .parallel.halo import build_halo_solver
 
@@ -139,6 +153,11 @@ def cmd_solve(args) -> int:
         np.asarray(u)
         t_solve = time.perf_counter() - t0
         k = int(k_dev)
+        if args.checkpoint and args.shard == "halo3d":
+            from .utils.checkpoint import save_halo_checkpoint
+
+            save_halo_checkpoint(args.checkpoint, cfg, u, k,
+                                 _np.asarray(hist_dev))
         n = cfg.hierarchy.elements_at(cfg.hierarchy.finest_level)
         out = {
             "converged": bool(done),

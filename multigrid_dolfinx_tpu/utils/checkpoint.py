@@ -53,6 +53,40 @@ def save_checkpoint(path, config: SolverConfig, result: SolveResult) -> Path:
     return path
 
 
+def save_halo_checkpoint(path, config: SolverConfig, u, num_cycles,
+                         res_hist) -> Path:
+    """Distributed-solver checkpoint: the z-sharded global iterate is
+    gathered to host (np.asarray collects the addressable shards; under a
+    multi-controller runtime call this on a fully-replicated gather or
+    per-process with distinct paths), plus cycle index, residual history,
+    and the config fingerprint."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    np.savez(
+        path,
+        u=np.asarray(u),
+        res_hist=np.asarray(res_hist),
+        num_cycles=int(num_cycles),
+        fingerprint=config_fingerprint(config),
+        kind="halo3d",
+    )
+    return path
+
+
+def load_halo_checkpoint(path, config: SolverConfig):
+    """Returns (u, num_cycles, res_hist) for build_halo_resume3d; raises
+    if the checkpoint belongs to a different problem."""
+    p = Path(path)
+    data = np.load(p if str(p).endswith(".npz") else p.with_suffix(".npz"))
+    fp = str(data["fingerprint"])
+    want = config_fingerprint(config)
+    if fp != want:
+        raise ValueError(
+            f"checkpoint fingerprint {fp} does not match config {want}"
+        )
+    return data["u"], int(data["num_cycles"]), data["res_hist"]
+
+
 def load_checkpoint(path, config: SolverConfig):
     """Returns (u, res_hist, err_hist, num_cycles, converged); raises if the
     checkpoint belongs to a different problem."""

@@ -218,3 +218,58 @@ def test_distributed_mgcg_matches_single_device(dtype, utol, pallas, rtol):
     np.testing.assert_allclose(np.asarray(u)[:m, :m, :m],
                                np.asarray(r1.u)[:m, :m, :m],
                                rtol=utol, atol=utol)
+
+
+@requires_8_devices
+@pytest.mark.isolate
+def test_distributed_checkpoint_resume(tmp_path):
+    """Kill-and-resume on the 8-device mesh: a solve interrupted at 2
+    cycles, checkpointed (save_halo_checkpoint), and resumed
+    (build_halo_resume3d) reproduces the uninterrupted solve — same total
+    cycle count, same residual history, same u (f64; V-cycles are
+    stateless between iterations, so the resumed sequence is the
+    uninterrupted one)."""
+    import dataclasses
+
+    from multigrid_dolfinx_tpu import models
+    from multigrid_dolfinx_tpu.config import CycleSpec
+    from multigrid_dolfinx_tpu.parallel.halo3d import (
+        build_halo_resume3d,
+        build_halo_solver3d,
+    )
+    from multigrid_dolfinx_tpu.utils.checkpoint import (
+        load_halo_checkpoint,
+        save_halo_checkpoint,
+    )
+
+    cyc = CycleSpec(nu1=1, nu2=1, smoother="rbgs", restriction="pt",
+                    tol=0.0, rtol=1e-9, max_cycles=40)
+    cfg = models.poisson3d(finest_level=3, coarsest_level=1,
+                           coarsest_elements=4, dtype="float64", cycle=cyc)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("gz",))
+
+    hier, solve_fn = build_halo_solver3d(cfg, mesh)
+    u_a, k_a, done_a, hist_a = solve_fn(hier)
+    assert bool(done_a) and int(k_a) > 3
+
+    # interrupted run: stop unconverged after 2 cycles, checkpoint
+    cfg_cut = dataclasses.replace(
+        cfg, cycle=dataclasses.replace(cyc, max_cycles=2))
+    hier_cut, solve_cut = build_halo_solver3d(cfg_cut, mesh)
+    u_c, k_c, done_c, hist_c = solve_cut(hier_cut)
+    assert int(k_c) == 2 and not bool(done_c)
+    path = save_halo_checkpoint(tmp_path / "ck", cfg, u_c, int(k_c),
+                                np.asarray(hist_c))
+
+    # resume under the original spec
+    u0, k0, hist0 = load_halo_checkpoint(path, cfg)
+    hier_r, resume_fn = build_halo_resume3d(cfg, mesh)
+    u_b, k_b, done_b, hist_b = resume_fn(hier_r, u0, k0, hist0)
+
+    assert bool(done_b)
+    assert int(k_b) == int(k_a)
+    kk = int(k_a)
+    np.testing.assert_allclose(np.asarray(hist_b)[:kk],
+                               np.asarray(hist_a)[:kk], rtol=1e-13)
+    np.testing.assert_allclose(np.asarray(u_b), np.asarray(u_a),
+                               rtol=1e-13, atol=1e-14)
