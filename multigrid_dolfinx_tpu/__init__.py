@@ -30,6 +30,7 @@ from .solver.hierarchy import (
     Level,
     build_hierarchy,
     build_lean_hierarchy,
+    build_p2_hierarchy,
     build_var_hierarchy,
 )
 from .solver.fmg import (
@@ -72,6 +73,7 @@ __all__ = [
     "solve_mixed",
     "resume_solve",
     "build_lean_hierarchy",
+    "build_p2_hierarchy",
     "build_var_hierarchy",
     "vcycle",
     "residual_norm",

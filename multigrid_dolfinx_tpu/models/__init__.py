@@ -3,6 +3,7 @@ from .poisson import (
     poisson2d,
     poisson2d_p2,
     poisson3d,
+    poisson3d_p2,
     screened_poisson2d,
     screened_poisson3d,
     variable_coefficient_2d,

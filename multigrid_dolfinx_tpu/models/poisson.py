@@ -88,6 +88,35 @@ def poisson2d_p2(
     )
 
 
+def poisson3d_p2(
+    finest_level: int = 1,
+    coarsest_level: int = 0,
+    coarsest_elements: int = 4,
+    dtype: str = "float32",
+    cycle: Optional[CycleSpec] = None,
+    coarse_operator: str = "rediscretize",
+) -> SolverConfig:
+    """3D P2 on the tetrahedralized cube (BASELINE.json config 4's 3D
+    form): u* = 1 + x^2 + 2y^2 + 3z^2 lies IN the P2 space, f = -12.
+    DOFs live on the half-step lattice ((2n+1)^3 points at n^3 elements).
+    coarse_operator='rediscretize' keeps every level a plane-free
+    parity-table operator (solver.hierarchy.build_p2_hierarchy — the
+    production scale path); 'galerkin' matches the host planes build."""
+    return SolverConfig(
+        problem=ProblemSpec(ndim=3, degree=2, rhs_const=-12.0),
+        hierarchy=HierarchySpec(
+            coarsest_elements=coarsest_elements,
+            coarsest_level=coarsest_level,
+            finest_level=finest_level,
+            coarse_operator=coarse_operator,
+        ),
+        cycle=cycle if cycle is not None else CycleSpec(
+            nu1=2, nu2=2, smoother="jacobi", restriction="pt",
+        ),
+        dtype=dtype,
+    )
+
+
 def screened_poisson2d(
     c: float = 10.0,
     finest_level: int = 3,

@@ -88,6 +88,26 @@ def pallas_planes_eligible(A: StencilOperator, shape: Tuple[int, ...],
     return jnp.dtype(dtype) == jnp.float32 and layout_aligned(shape)
 
 
+def pallas_parity_eligible(A: StencilOperator, shape: Tuple[int, ...],
+                           dtype) -> bool:
+    """Can the plane-free parity-table P2 kernels (stencil3d_p2) handle
+    this operator/layout?  Constant-coefficient P2 on the half-step
+    lattice (fem.fast_p2 / build_p2_hierarchy); 3D, f32, tile-aligned,
+    even z extent with >= 4 z-padding slabs (the static-parity rolling
+    window)."""
+    if A.parity_weights is None or len(shape) != 3:
+        return False
+    if A.radius != 2 or A.logical_m is None:
+        return False
+    if shape[0] - A.logical_m < 4:
+        return False
+    if jnp.dtype(dtype) != jnp.float32 or not layout_aligned(shape):
+        return False
+    from .pallas.stencil3d_p2 import p2_admits
+
+    return p2_admits(shape, dtype)
+
+
 def pallas_eligible(A: StencilOperator, shape: Tuple[int, ...], dtype) -> bool:
     """Can the fused const-stencil kernels handle this operator/layout?"""
     if not (A.is_const and A.logical_m is not None):

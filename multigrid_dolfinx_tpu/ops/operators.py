@@ -54,9 +54,9 @@ def _shifted(up: jax.Array, off: Offset, shape, r: int) -> jax.Array:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["planes", "class_tables"],
+    data_fields=["planes", "class_tables", "parity_tables"],
     meta_fields=["offsets", "const_weights", "logical_m", "boundary_mode",
-                 "grid_shape", "uniform_p1_mass"],
+                 "grid_shape", "uniform_p1_mass", "parity_weights"],
 )
 @dataclasses.dataclass(frozen=True)
 class StencilOperator:
@@ -95,6 +95,23 @@ class StencilOperator:
     # consequence of the mesh, so the flag is set where the tables are
     # built from mass_class_tables and nowhere else).
     uniform_p1_mass: Optional[str] = None
+    # parity-class-table mode (plane-free CONSTANT-coefficient P2): the
+    # interior rows of a constant-kappa P2 operator on the half-step DOF
+    # lattice are exactly periodic with period 2 (each lattice parity
+    # class is one P2 node type — vertex / edge / face / body midpoint),
+    # and the only non-periodic raw rows sit ON the domain faces.  So the
+    # whole operator is parity_tables[k][flat 4^d class] with per-axis
+    # classes {0: i == 0, 1: even interior, 2: odd interior, 3:
+    # i == lm-1} — O(4^d * K) scalars where materialized planes would
+    # cost K full grids (51 x 0.69 GB at a 513^3 lattice).
+    # boundary_mode 'identity': Dirichlet-eliminated stiffness (bc reads
+    # zeroed, bc rows identity).  'raw': the un-eliminated operator (the
+    # consistent mass / lifting applies), rows and reads taken as-is
+    # inside the logical box.
+    parity_tables: Optional[jax.Array] = None
+    # STATIC twin of parity_tables (nested (K, 4^d) float tuples) so the
+    # Pallas kernels can bake the weights as compile-time immediates.
+    parity_weights: Optional[Tuple[Tuple[float, ...], ...]] = None
 
     @property
     def ndim(self) -> int:
@@ -127,7 +144,28 @@ class StencilOperator:
     def center_index(self) -> int:
         return self.offsets.index((0,) * self.ndim)
 
+    def _parity_class(self, shape) -> jax.Array:
+        """Flat 4^d parity/boundary class index per node: per axis
+        {0: low face, 1: even interior, 2: odd interior, 3: high face}."""
+        lm = self.logical_m
+        cls = None
+        for axis in range(len(shape)):
+            i = jax.lax.broadcasted_iota(jnp.int32, shape, axis)
+            c = jnp.where(
+                i == 0, 0,
+                jnp.where(i == lm - 1, 3, jnp.where(i % 2 == 0, 1, 2)),
+            )
+            cls = c if cls is None else cls * 4 + c
+        return cls
+
     def diag(self) -> jax.Array:
+        if self.parity_tables is not None:
+            cls = self._parity_class(self.shape)
+            d = self.parity_tables[self.center_index()][cls]
+            if self.boundary_mode == "identity":
+                interior = box_interior_mask(self.shape, self.logical_m)
+                return jnp.where(interior, d, jnp.ones_like(d))
+            return d
         if self.planes is None:
             w = self.const_weights[self.center_index()]
             interior = box_interior_mask(self.shape, self.logical_m)
@@ -137,6 +175,9 @@ class StencilOperator:
     def dinv(self) -> jax.Array:
         """1 / diag — for plane-free const operators this is synthesized
         from iota masks (no memory)."""
+        if self.parity_tables is not None:
+            d = self.diag()
+            return jnp.where(d != 0, 1.0 / d, jnp.ones_like(d))
         if self.planes is None:
             w = self.const_weights[self.center_index()]
             interior = box_interior_mask(self.shape, self.logical_m)
@@ -205,10 +246,42 @@ class StencilOperator:
             out = term if out is None else out + term
         return jnp.where(inbox, out, jnp.zeros_like(u))
 
+    def _apply_parity(self, u: jax.Array) -> jax.Array:
+        """Matvec via the 4^d parity/boundary tables (plane-free const
+        P2).  identity mode: reads are interior-masked (the eliminated
+        operator's zeroed bc columns) and bc/padding rows pass u through
+        (unit diagonal).  raw mode: reads keep bc values, rows outside
+        the logical box are zeroed."""
+        shape = u.shape
+        lm = self.logical_m
+        interior = box_interior_mask(shape, lm)
+        if self.boundary_mode == "identity":
+            src = jnp.where(interior, u, jnp.zeros_like(u))
+        else:
+            inbox = None
+            for axis in range(u.ndim):
+                i = jax.lax.broadcasted_iota(jnp.int32, shape, axis)
+                ib = i <= lm - 1
+                inbox = ib if inbox is None else inbox & ib
+            src = jnp.where(inbox, u, jnp.zeros_like(u))
+        cls = self._parity_class(shape)
+        r = self.radius
+        up = jnp.pad(src, [(r, r)] * u.ndim)
+        out = None
+        for k, off in enumerate(self.offsets):
+            w = self.parity_tables[k][cls]
+            term = w * _shifted(up, off, shape, r)
+            out = term if out is None else out + term
+        if self.boundary_mode == "identity":
+            return jnp.where(interior, out, u)
+        return jnp.where(inbox, out, jnp.zeros_like(u))
+
     def apply(self, u: jax.Array) -> jax.Array:
         """Matvec.  Planes path: K fused shifted multiply-adds.  Const
         path: weights are immediates and masks come from iota — one HBM
         pass over u."""
+        if self.parity_tables is not None:
+            return self._apply_parity(u)
         if self.class_tables is not None:
             return self._apply_class_tables(u)
         if self.is_const:
@@ -222,6 +295,8 @@ class StencilOperator:
         return dataclasses.replace(
             self,
             planes=None if self.planes is None else self.planes.astype(dtype),
+            parity_tables=(None if self.parity_tables is None
+                           else self.parity_tables.astype(dtype)),
         )
 
     @staticmethod

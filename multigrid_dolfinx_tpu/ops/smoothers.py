@@ -391,6 +391,34 @@ def smooth(
                                                   interpret=interp)
                 return chebyshev_smooth(sm, A, v, f, nsweeps,
                                         residual_fn=res_fn)
+        elif dispatch.pallas_parity_eligible(A, v.shape, v.dtype):
+            # plane-free const-P2 kernels (stencil3d_p2): jacobi is one
+            # rolling pass per sweep; chebyshev substitutes the fused
+            # residual into the matvec-only polynomial (same wiring as
+            # the const-7 path); rbgs (27 mod-3 colors) falls through to
+            # the jnp path — production P2 smoothing is jacobi/chebyshev.
+            from .pallas import stencil3d_p2
+
+            interp = dispatch.interpret_mode()
+            if kind == "jacobi":
+                def sweep(_, vv):
+                    return stencil3d_p2.p2_jacobi_sweep(
+                        vv, f, A.logical_m, A.parity_weights, A.offsets,
+                        sm.omega, interpret=interp)
+
+                if nsweeps <= 2:
+                    for k in range(nsweeps):
+                        v = sweep(k, v)
+                    return v
+                return jax.lax.fori_loop(0, nsweeps, sweep, v)
+            if kind == "chebyshev":
+                def res_fn(vv, ff):
+                    return stencil3d_p2.p2_residual(
+                        vv, ff, A.logical_m, A.parity_weights, A.offsets,
+                        interpret=interp)
+
+                return chebyshev_smooth(sm, A, v, f, nsweeps,
+                                        residual_fn=res_fn)
         elif (kind in ("jacobi", "rbgs")
               and dispatch.pallas_planes_eligible(A, v.shape, v.dtype)):
             out = _pallas_planes(sm, A, v, f, nsweeps, kind)

@@ -269,6 +269,33 @@ def _ramp_prolong(hier: Hierarchy, li: int, v, spec: CycleSpec):
                 missing = mm if missing is None else missing | mm
         uD = hier.err_quad.exact_fn(*coords).astype(v.dtype)
         vfull = jnp.where(missing, uD, vfull)
+    if spec.use_pallas and spec.prolongation == "bilinear" and v.ndim == 3:
+        # Fast path: reconstruct the coarse level to a FULL (tile-padded)
+        # layout — cheap at coarse size — and run the fused Pallas
+        # prolongation full -> full, then slice back to cropped storage.
+        # The plain transfer.prolong path below costs ~1.3 s at the
+        # 256 -> 512 step (strided-scatter XLA); this is ~10 ms.
+        from ..ops import dispatch
+        from ..ops.pallas import stencil3d
+
+        def _r8(x):
+            return ((x + 7) // 8) * 8
+
+        def _r128(x):
+            return ((x + 127) // 128) * 128
+
+        full_lo = (_r8(m_lo), _r8(m_lo), _r128(m_lo))
+        full_hi = (_r8(m_hi), _r8(m_hi), _r128(m_hi))
+        if (dispatch.layout_aligned(full_lo)
+                and dispatch.dtype_layout_ok(full_lo, v.dtype)):
+            vc_full = jnp.zeros(full_lo, v.dtype)
+            vc_full = vc_full.at[
+                tuple(slice(0, s) for s in vfull.shape)].set(vfull)
+            ef = stencil3d.prolong_linear(
+                vc_full, full_hi, m_hi,
+                interpret=dispatch.interpret_mode(),
+            )
+            return ef[tuple(slice(0, s) for s in hi.shape)]
     e = transfer.prolong(vfull, spec.prolongation, hi.diagonal)
     box = tuple(slice(0, min(m_hi, s)) for s in hi.shape)
     out = jnp.zeros(hi.shape, v.dtype)

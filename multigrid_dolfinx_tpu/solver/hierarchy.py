@@ -596,6 +596,113 @@ def _full_layout_rn_ref(template, grid, problem, dtype, fine_level, M_fine):
     M_full = dataclasses.replace(M_fine, grid_shape=full_pp)
     return mass_norm(M_full, b_full).astype(dtype)
 
+def build_p2_hierarchy(
+    config: SolverConfig,
+    pad_points: Optional[Sequence[Optional[Tuple[int, ...]]]] = None,
+) -> Hierarchy:
+    """Scale-mode hierarchy for CONSTANT-coefficient P2: every level is a
+    plane-free parity-class-table operator (fem.fast_p2 — the interior
+    rows of the constant-kappa P2 operator on the half-step DOF lattice
+    are exactly period-2, so the whole operator is O(4^d x K) scalars
+    where materialized planes cost 51 x 0.69 GB at the 513^3 production
+    lattice of BASELINE config 4).  b and g build on device from iota
+    coordinates + one table-stencil lifting; coarse operators are
+    rediscretized (same tables at 2h) — measured to converge in the same
+    cycle count as the Galerkin planes hierarchy for constant P2.  Host
+    work is the O(1) prototype extraction plus the tiny coarsest-level
+    assembly for the direct solver.
+
+    Semantics: reference capability Multigrid_prototype.py:88-110 (P2
+    function space, assemble + apply_lifting + set_bc) at production
+    scale; parity vs the host assembler in tests/test_fast_p2.py."""
+    from ..fem import fast_p2 as fp2
+
+    problem = config.problem
+    if problem.degree != 2:
+        raise ValueError("build_p2_hierarchy is the P2 path; use "
+                         "build_lean_hierarchy for degree 1")
+    dtype = jnp.dtype(config.dtype)
+    grids = build_grid_hierarchy(config.hierarchy, ndim=problem.ndim)
+    template = fp2.build_p2_template(problem)
+    ndim = problem.ndim
+
+    lms = [2 * g.n + 1 for g in grids]
+    if pad_points is None:
+        if config.cycle.use_pallas:
+            def _r(x, m):
+                return ((x + m - 1) // m) * m
+
+            if ndim == 2:
+                pad_points = [(_r(lm, 128), _r(lm, 128)) for lm in lms]
+            else:
+                pad_points = [
+                    (_r(lm, 8), _r(lm, 8), _r(lm, 128)) for lm in lms
+                ]
+        else:
+            pad_points = [None] * len(grids)
+
+    want_cheby = config.cycle.smoother == "chebyshev"
+    levels = []
+    for g, lm, pp in zip(grids, lms, pad_points):
+        b, gdir = fp2.device_p2_level_arrays(
+            template, g.n, problem, dtype, pp)
+        shape = tuple(pp) if pp is not None else (lm,) * ndim
+        a_np = template.a_unit * g.h ** (ndim - 2)
+        A = StencilOperator(
+            planes=None, offsets=template.offsets,
+            logical_m=lm, boundary_mode="identity", grid_shape=shape,
+            parity_tables=jnp.asarray(a_np, dtype=dtype),
+            parity_weights=tuple(map(tuple, a_np.tolist())),
+        )
+        # r_omega carries no tables: jacobi_smooth falls to the
+        # algebraically identical A-form v <- v + w Dinv (f - A v).
+        r_omega = StencilOperator(
+            planes=None, offsets=template.offsets,
+            logical_m=lm, boundary_mode="zero", grid_shape=shape,
+        )
+        lmax = (fp2.device_p2_lmax(A) if want_cheby
+                else jnp.asarray(2.0, dtype=dtype))
+        sm = SmootherData(
+            r_omega=r_omega,
+            dinv=None,
+            lmax=jnp.asarray(lmax, dtype=dtype),
+            omega=config.cycle.omega,
+            cheby_degree=config.cycle.cheby_degree,
+            cheby_eig_ratio=4.0,
+        )
+        levels.append(Level(
+            A=A, sm=sm, b=b, g=gdir, n=2 * g.n, level=g.level,
+            diagonal=problem.diagonal,
+        ))
+
+    asm0 = fem_assembly.assemble_level(grids[0], problem)
+    coarse = build_coarse_solver(
+        asm0.offsets, asm0.A_planes, kind=config.cycle.coarse_solver,
+        dtype=dtype,
+    )
+
+    # plane-free consistent P2 mass for the FEM-L2 residual norm: raw
+    # parity tables; in r^T M r only interior rows matter (r vanishes on
+    # the identity bc rows), and those are exactly parity-periodic.
+    g_f = grids[-1]
+    M_fine = StencilOperator(
+        planes=None,
+        offsets=template.m_offsets,
+        logical_m=lms[-1],
+        grid_shape=tuple(levels[-1].shape),
+        boundary_mode="raw",
+        parity_tables=jnp.asarray(
+            template.m_unit * g_f.h ** ndim, dtype=dtype),
+    )
+    eq = error_quadrature(g_f, problem)
+    return Hierarchy(
+        levels=tuple(levels),
+        coarse=coarse,
+        M_fine=M_fine,
+        err_quad=ErrorQuad.from_quadrature(eq),
+    )
+
+
 def build_var_hierarchy(
     config: SolverConfig,
     pad_points: Optional[Sequence[Optional[Tuple[int, ...]]]] = None,

@@ -52,6 +52,15 @@ def compute_residual(level, v, f, use_pallas: bool = False) -> jax.Array:
                 v, f, level.A.logical_m, wc, woff,
                 interpret=dispatch.interpret_mode(),
             )
+        if dispatch.pallas_parity_eligible(level.A, v.shape, v.dtype):
+            from ..ops.pallas import stencil3d_p2
+
+            out = stencil3d_p2.p2_residual(
+                v, f, level.A.logical_m, level.A.parity_weights,
+                level.A.offsets, interpret=dispatch.interpret_mode(),
+            )
+            if out is not None:
+                return out
         if dispatch.pallas_planes_eligible(level.A, v.shape, v.dtype):
             if v.ndim == 2:
                 from ..ops.pallas import stencil2d
@@ -91,6 +100,8 @@ def restrict_level(r, fine_level, coarse_level, kind: str,
         if (
             (dispatch.pallas_eligible(fine_level.A, r.shape, r.dtype)
              or dispatch.pallas_planes_eligible(fine_level.A, r.shape,
+                                                r.dtype)
+             or dispatch.pallas_parity_eligible(fine_level.A, r.shape,
                                                 r.dtype))
             and dispatch.layout_aligned(coarse_level.shape)
         ):
@@ -130,6 +141,8 @@ def prolong_level(vc, coarse_level, fine_level, kind: str,
             (dispatch.pallas_eligible(fine_level.A, fine_level.shape,
                                       vc.dtype)
              or dispatch.pallas_planes_eligible(fine_level.A,
+                                                fine_level.shape, vc.dtype)
+             or dispatch.pallas_parity_eligible(fine_level.A,
                                                 fine_level.shape, vc.dtype))
             and dispatch.layout_aligned(vc.shape)
         ):
@@ -161,7 +174,10 @@ def prolong_correct(vc, coarse_level, fine_level, v, kind: str,
         from ..ops import dispatch
 
         if (
-            dispatch.pallas_eligible(fine_level.A, fine_level.shape, v.dtype)
+            (dispatch.pallas_eligible(fine_level.A, fine_level.shape,
+                                      v.dtype)
+             or dispatch.pallas_parity_eligible(fine_level.A,
+                                                fine_level.shape, v.dtype))
             and dispatch.layout_aligned(vc.shape)
         ):
             from ..ops.pallas import stencil3d

