@@ -241,7 +241,8 @@ def device_level_b_g(template: VarTemplate, grid: GridLevel, problem,
     return b, g
 
 
-def galerkin_rap_device(offsets, planes: jax.Array, lm_f: int):
+def galerkin_rap_device(offsets, planes: jax.Array, lm_f: int,
+                        chunk_threshold: int = 129):
     """Galerkin product A_c = P^T A_f P on device for a radius-1 fine
     operator at logical shape and multilinear P.  The contraction
 
@@ -277,19 +278,60 @@ def galerkin_rap_device(offsets, planes: jax.Array, lm_f: int):
                 idx = tuple(ea + 1 for ea in e)
                 W[(kD, kd) + idx] = w(e) * w(t)
 
-    dn = jax.lax.conv_dimension_numbers(
-        (1, len(offsets)) + planes.shape[1:],
-        W.shape,
-        ("NC" + "DHW"[-ndim:], "OI" + "DHW"[-ndim:],
-         "NC" + "DHW"[-ndim:]),
-    )
-    out = jax.lax.conv_general_dilated(
-        planes[None].astype(planes.dtype),
-        jnp.asarray(W, dtype=planes.dtype),
-        window_strides=(2,) * ndim,
-        padding=[(1, 1)] * ndim,
-        dimension_numbers=dn,
-    )[0]
+    Wd = jnp.asarray(W, dtype=planes.dtype)
+
+    def conv(block):
+        dn = jax.lax.conv_dimension_numbers(
+            (1, len(offsets)) + block.shape[1:],
+            Wd.shape,
+            ("NC" + "DHW"[-ndim:], "OI" + "DHW"[-ndim:],
+             "NC" + "DHW"[-ndim:]),
+        )
+        # precision HIGHEST: without it the TPU MXU runs the f32 conv in
+        # bf16 passes — measured 0.3-6% per-entry error on the coarse
+        # operators, compounding one step per Galerkin level (fine levels
+        # exact, the coarsest worst).  The CPU suite never sees this
+        # (CPU convs are true f32/f64), which is why the round-3 parity
+        # tests were green while the on-TPU RAP was silently low-precision.
+        return jax.lax.conv_general_dilated(
+            block[None],
+            Wd,
+            window_strides=(2,) * ndim,
+            padding=[(1, 1)] * ndim,
+            dimension_numbers=dn,
+            precision=jax.lax.Precision.HIGHEST,
+        )[0]
+
+    if ndim == 3 and planes.shape[1] > chunk_threshold:
+        # z-chunked RAP: the conv's NC-layout input relayout materializes
+        # a full (K, lm^3) copy — 7.9 GB at 513^3, the build-time OOM at
+        # scale.  Output slab [2a, 2b) needs input rows [4a-1, 4b] only;
+        # chunk over coarse z, conv each fine slab, concatenate.  Same
+        # values (each output element still sees its full window).
+        lm_f = planes.shape[1]
+        step_c = 32
+        outs = []
+        for zc0 in range(0, lm_c, step_c):
+            zc1 = min(zc0 + step_c, lm_c)
+            zf0 = max(2 * zc0 - 1, 0)
+            zf1 = min(2 * (zc1 - 1) + 2, lm_f)
+            blk = planes[:, zf0:zf1]
+            pad_lo = 1 - (2 * zc0 - zf0)      # 1 if zf0 == 0 else 0
+            dn = jax.lax.conv_dimension_numbers(
+                (1, len(offsets)) + blk.shape[1:], Wd.shape,
+                ("NCDHW", "OIDHW", "NCDHW"),
+            )
+            o = jax.lax.conv_general_dilated(
+                blk[None], Wd,
+                window_strides=(2,) * ndim,
+                padding=[(pad_lo, 1), (1, 1), (1, 1)],
+                dimension_numbers=dn,
+                precision=jax.lax.Precision.HIGHEST,
+            )[0]
+            outs.append(o[:, : zc1 - zc0])
+        out = jnp.concatenate(outs, axis=1)
+    else:
+        out = conv(planes)
     assert out.shape == (len(coarse_offsets),) + (lm_c,) * ndim
     return coarse_offsets, out
 

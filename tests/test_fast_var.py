@@ -131,3 +131,26 @@ def test_device_build_rejects_const():
     )
     with pytest.raises(ValueError):
         build_var_hierarchy(cfg)
+
+
+def test_galerkin_rap_chunked_matches_unchunked():
+    """The z-chunked RAP conv (the at-scale form: the NC-layout conv
+    input relayout materializes a full (K, lm^3) copy — 7.9 GB at 513^3)
+    is bitwise the unchunked contraction: chunking never splits any
+    output element's reduction window."""
+    import jax.numpy as jnp
+
+    from multigrid_dolfinx_tpu.fem import fast_var as fv
+    from multigrid_dolfinx_tpu.mesh import GridLevel
+
+    p = ProblemSpec(ndim=3, kappa=_kappa, rhs_const=-6.0)
+    t = fv.build_var_template(p)
+    g = GridLevel(level=0, ndim=3, n=16)
+    planes = fv.device_raw_planes(t, g, p.kappa, jnp.dtype("float64"))
+    elim = fv.eliminate_dirichlet_device(t.offsets, planes, 17)
+    offs1, out1 = fv.galerkin_rap_device(t.offsets, elim, 17,
+                                         chunk_threshold=999)
+    offs2, out2 = fv.galerkin_rap_device(t.offsets, elim, 17,
+                                         chunk_threshold=4)
+    assert offs1 == offs2
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
