@@ -767,59 +767,78 @@ def build_var_hierarchy(
             return galerkin_offsets
         return template.offsets
 
-    def _level_body(idx: int, pp, prev_logical=None):
-        """One level's full build (logical planes in, storage arrays
-        out).  Per-level jit units keep XLA compile time linear in the
-        hierarchy depth — a single whole-hierarchy graph took minutes to
-        compile."""
+    def _build_level(idx: int, pp, prev_logical):
+        """One level's build as a SEQUENCE of small jit units with
+        explicit frees between them.  A single per-level program co-lives
+        every temporary (kappa fields, raw planes, the RAP's window
+        copies, the eliminated planes, the padded copies) in XLA's HLO
+        temp plan — measured OOM at 384^3 even though the end-state
+        arrays are ~7 GB; the staged form's stages each complete in
+        seconds with the previous stage's temporaries already freed
+        (and the many small programs also compile faster than the one
+        big one)."""
         g = grids[idx]
         lm = g.points_per_dim
         offs_l = offs_for(idx)
-        raw = fv.device_raw_planes(template, g, kappa_fn, dtype)
-        if galerkin and idx < len(grids) - 1:
-            rap = fv.galerkin_rap_device(
-                offs_for(idx + 1), prev_logical,
-                grids[idx + 1].points_per_dim,
-            )[1]
-            elim = fv.eliminate_dirichlet_device(offs_l, rap, lm)
-        else:
-            elim = fv.eliminate_dirichlet_device(offs_l, raw, lm)
+        center = tuple(offs_l).index((0,) * problem.ndim)
+
+        raw = jax.jit(
+            lambda: fv.device_raw_planes(template, g, kappa_fn, dtype))()
         # lifting always uses this level's REDISCRETIZED raw operator
         # (matching build_hierarchy, whose b comes from per-level
         # assembly even in Galerkin mode)
-        b, gdir = fv.device_level_b_g(template, g, problem, raw, dtype)
-        center = tuple(offs_l).index((0,) * problem.ndim)
-        dinv = jnp.where(elim[center] != 0, 1.0 / elim[center], 1.0)
+        b, gdir = jax.jit(
+            lambda r: fv.device_level_b_g(template, g, problem, r, dtype)
+        )(raw)
+        if galerkin and idx < len(grids) - 1:
+            rap = jax.jit(
+                lambda e: fv.galerkin_rap_device(
+                    offs_for(idx + 1), e, grids[idx + 1].points_per_dim
+                )[1]
+            )(prev_logical)
+            del raw
+            elim = jax.jit(
+                lambda r: fv.eliminate_dirichlet_device(offs_l, r, lm)
+            )(rap)
+            del rap
+        else:
+            elim = jax.jit(
+                lambda r: fv.eliminate_dirichlet_device(offs_l, r, lm)
+            )(raw)
+            del raw
+        dinv = jax.jit(
+            lambda e: jnp.where(e[center] != 0, 1.0 / e[center], 1.0)
+        )(elim)
         rec = {
             "A_logical": elim,
-            "A": fv.embed_planes(elim, pp),
-            "b": fv.embed_grid(b, pp),
-            "g": fv.embed_grid(gdir, pp),
-            "dinv": fv.embed_grid(dinv, pp, value=1.0),
+            "A": jax.jit(lambda e: fv.embed_planes(e, pp))(elim),
+            "b": jax.jit(lambda x: fv.embed_grid(x, pp))(b),
+            "g": jax.jit(lambda x: fv.embed_grid(x, pp))(gdir),
+            "dinv": jax.jit(
+                lambda x: fv.embed_grid(x, pp, value=1.0))(dinv),
         }
+        del b, gdir
         if want_jacobi:
-            r_planes = elim * dinv[None]
-            r_planes = r_planes.at[center].set(0.0)
-            rec["r_planes"] = fv.embed_planes(r_planes, pp)
+            rec["r_planes"] = jax.jit(
+                lambda e, d: fv.embed_planes(
+                    (e * d[None]).at[center].set(0.0), pp)
+            )(elim, dinv)
+        del dinv
         if want_cheby:
-            rec["lmax"] = fv.device_lmax_dinv_a(offs_l, elim, lm)
+            rec["lmax"] = jax.jit(
+                lambda e: fv.device_lmax_dinv_a(offs_l, e, lm))(elim)
         return rec
 
     recs = []
     prev_logical = None
     for idx in range(len(grids) - 1, -1, -1):
-        pp = pad_points[idx]
-        if galerkin and idx < len(grids) - 1:
-            rec = jax.jit(
-                lambda prev, idx=idx, pp=pp: _level_body(idx, pp, prev)
-            )(prev_logical)
-        else:
-            rec = jax.jit(
-                lambda idx=idx, pp=pp: _level_body(idx, pp)
-            )()
+        rec = _build_level(idx, pad_points[idx], prev_logical)
         prev_logical = rec["A_logical"]
         if idx != 0:
-            del rec["A_logical"]          # keep only the coarsest logical
+            # free the logical copies (keep only the coarsest for the
+            # dense factorization; prev_logical holds this level's for
+            # the next RAP)
+            del rec["A_logical"]
         recs.append(rec)
     recs.reverse()                        # coarsest..finest
 
