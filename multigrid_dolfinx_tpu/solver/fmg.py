@@ -372,10 +372,50 @@ def fmg_solve(
     return (result, debug) if collect_debug else result
 
 
+def _guard_big_tpu_solve(hier: Hierarchy) -> None:
+    """Refuse the known-fault configuration loudly instead of wedging
+    the chip.
+
+    Executing the full tolerance-solve PROGRAM at 768^3 (4.6e8 nodes) on
+    a real TPU crashed the worker at DRIVER level in round 3 — no Python
+    exception, the chip wedges for ~2 h (BENCHMARKS.md "Scale headroom").
+    V-cycle THROUGHPUT at 768^3 is fine (scripts/big_demo.py, 77.6 ms);
+    only the solve program (FMG ramp + while_loop + per-cycle norm)
+    faults.  Until the driver fault is pinned, solves above the guard
+    size are refused on TPU with an actionable message; MG_BIG_SOLVE=1
+    overrides (accepting the wedge risk).  Production solves at this
+    scale are the z-decomposed multi-chip path (parallel/halo3d)."""
+    import os
+
+    if os.environ.get("MG_BIG_SOLVE", "0") == "1":
+        return
+    try:
+        platform = jax.devices()[0].platform.lower()
+    except Exception:
+        return
+    if not ("tpu" in platform or "axon" in platform):
+        return
+    points = 1
+    for s in hier.finest.b.shape:
+        points *= int(s)
+    if points > 3 * 10**8:  # 512^3 padded ~1.7e8 ok; 768^3 ~4.6e8 faults
+        raise RuntimeError(
+            f"refusing single-chip tolerance/FMG solve at {points:.2e} "
+            "storage points on TPU: executing this program crashed the "
+            "TPU worker at driver level (not a catchable error — the "
+            "chip wedges ~2 h; see BENCHMARKS.md 'Scale headroom'). "
+            "V-cycle throughput at this size works (scripts/big_demo.py)."
+            " Use the multi-chip z-decomposed solver "
+            "(parallel/halo3d.build_halo_solver3d) for production solves"
+            " at >512^3, or set MG_BIG_SOLVE=1 to attempt anyway."
+        )
+
+
 def resume_solve(hier: Hierarchy, spec: CycleSpec, v0) -> SolveResult:
     """Continue V-cycling from a previous iterate (e.g. a loaded
     checkpoint) until tolerance — the resume path the reference lacks
     (SURVEY.md §5)."""
+    _guard_big_tpu_solve(hier)
     return _jitted_resume(spec)(hier, jnp.asarray(v0))
 
 
@@ -402,6 +442,7 @@ def solve(
     jit: bool = True,
 ) -> SolveResult:
     """Jit-compiled FMG solve over a prebuilt hierarchy."""
+    _guard_big_tpu_solve(hier)
     if jit:
         return _jitted_solver(spec, mode)(hier)
     return fmg_solve(hier, spec, mode=mode)

@@ -833,6 +833,16 @@ def build_var_hierarchy(
     prev_logical = None
     for idx in range(len(grids) - 1, -1, -1):
         rec = _build_level(idx, pad_points[idx], prev_logical)
+        # synchronize per level: under the fully-asynchronous remote-exec
+        # runtime the whole multi-level build otherwise queues before any
+        # program runs, and the queued programs' buffers pile up past HBM
+        # (measured: the staged stages each succeed with syncs between
+        # them, the same stages OOM when free-running).  A SCALAR READBACK
+        # is the barrier — block_until_ready returns at dispatch on this
+        # runtime (see bench.py's timing notes); only materializing data
+        # proves the queue drained.
+        for x in jax.tree_util.tree_leaves(rec):
+            float(x.ravel()[0])           # one scalar per output program
         prev_logical = rec["A_logical"]
         if idx != 0:
             # free the logical copies (keep only the coarsest for the

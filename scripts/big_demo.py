@@ -8,8 +8,12 @@ run still OOMs at execution (BENCHMARKS.md: out of reach by ~2x on a
 single chip — it needs the z-decomposed multi-chip path).  768^3 (454M
 DOFs) is the largest single-chip size that runs.
 
-Usage: python scripts/big_demo.py [N] [cycles]
+Usage: python scripts/big_demo.py [N] [cycles] [--solve]
 Prints one JSON line like bench.py.
+
+--solve at >512^3 is refused by solve()'s big-TPU guard (the round-3
+driver-level worker crash, BENCHMARKS.md "Scale headroom"); set
+MG_BIG_SOLVE=1 to attempt it anyway, accepting the ~2 h wedge risk.
 """
 import os
 import sys

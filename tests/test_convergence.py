@@ -117,6 +117,46 @@ def test_divergence_guard():
     assert bool(res.diverged) or int(res.num_cycles) == 10
 
 
+def test_big_tpu_solve_guard(monkeypatch):
+    """Above ~3e8 storage points on a TPU backend, solve() must refuse
+    with an actionable error instead of executing the program that
+    crashed the TPU worker at driver level in round 3 (BENCHMARKS.md
+    'Scale headroom'); MG_BIG_SOLVE=1 overrides."""
+    import types
+    import pytest
+    import jax
+
+    from multigrid_dolfinx_tpu.solver import fmg
+
+    fake_hier = types.SimpleNamespace(
+        finest=types.SimpleNamespace(
+            b=types.SimpleNamespace(shape=(776, 769, 896))
+        )
+    )
+    small_hier = types.SimpleNamespace(
+        finest=types.SimpleNamespace(
+            b=types.SimpleNamespace(shape=(520, 513, 640))
+        )
+    )
+
+    class _Dev:
+        platform = "tpu"
+
+    monkeypatch.setattr(jax, "devices", lambda *a, **k: [_Dev()])
+    monkeypatch.delenv("MG_BIG_SOLVE", raising=False)
+    with pytest.raises(RuntimeError, match="driver level"):
+        fmg._guard_big_tpu_solve(fake_hier)
+    # 512^3 padded storage stays under the guard
+    fmg._guard_big_tpu_solve(small_hier)
+    # explicit override passes through
+    monkeypatch.setenv("MG_BIG_SOLVE", "1")
+    fmg._guard_big_tpu_solve(fake_hier)
+    # CPU backend never refuses
+    monkeypatch.delenv("MG_BIG_SOLVE", raising=False)
+    _Dev.platform = "cpu"
+    fmg._guard_big_tpu_solve(fake_hier)
+
+
 def test_screened_poisson_converges_and_matches_exact():
     """-Laplace(u) + c u = f: the reaction term adds c*M to the operator;
     MG must converge and the discrete solution approaches u* at O(h^2)."""
