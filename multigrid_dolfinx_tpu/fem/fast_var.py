@@ -20,8 +20,12 @@ Dirichlet elimination and lifting as iota-masked updates, and the
 Galerkin product P^T A P as a strided-slice contraction (the jnp twin of
 fem.galerkin.galerkin_rap_stencil).  The host does O(1) work — the
 element matrices K_s and the boundary-class load/mass tables — and the
-device builds a 512^3 variable-coefficient hierarchy in device-memory
-time instead of host-allocation time.
+device builds the hierarchy in device-memory time instead of
+host-allocation time.  Single-chip cap: unlike the plane-free const/P2
+paths this one MATERIALIZES K f32 planes per level, so a 16 GB chip
+tops out near 448^3 (512^3 needs ~15.7 GB of steady-state arrays before
+any transient — solver.hierarchy._guard_var_build_hbm has the
+arithmetic); larger grids shard the planes over a device mesh.
 
 Replaces the reference capability of dolfinx's general coefficient forms
 (Multigrid_prototype.py:88-91) at production scale.  Requires a
@@ -308,8 +312,17 @@ def galerkin_rap_device(offsets, planes: jax.Array, lm_f: int,
         # scale.  Output slab [2a, 2b) needs input rows [4a-1, 4b] only;
         # chunk over coarse z, conv each fine slab, concatenate.  Same
         # values (each output element still sees its full window).
+        #
+        # The chunk size must account for CHANNEL PADDING, not just K:
+        # the TPU conv pads the C/O dims to the 128-lane tile, so each
+        # chunk's relayout copy costs 128 planes of (rows, lm^2) — 8.5x
+        # the K=15 plane math.  A fixed step_c=32 measured OOM at 385
+        # (5 GB/chunk); budget ~0.75 GB of padded copy per chunk.
         lm_f = planes.shape[1]
-        step_c = 32
+        row_bytes = 128 * planes.shape[2] * planes.shape[3] \
+            * planes.dtype.itemsize
+        rows_budget = max(6, int(0.75e9 // row_bytes))
+        step_c = max(2, (rows_budget - 2) // 2)
         outs = []
         for zc0 in range(0, lm_c, step_c):
             zc1 = min(zc0 + step_c, lm_c)

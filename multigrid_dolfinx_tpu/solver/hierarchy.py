@@ -703,6 +703,67 @@ def build_p2_hierarchy(
     )
 
 
+def _guard_var_build_hbm(grids, pad_points, struct_offsets,
+                         galerkin_offsets, want_jacobi, dtype) -> None:
+    """Refuse variable-coefficient builds whose STEADY-STATE arrays
+    cannot fit the chip, with the arithmetic in the message.
+
+    Unlike the plane-free constant/P2 paths (zero operator bytes in
+    HBM), variable kappa materializes K f32 planes per level.  At 512^3
+    that is 15 x (520,520,640) x 4 B = 10.4 GB for the finest A alone,
+    plus ~2.9 GB of 27-offset Galerkin coarse planes, ~2.1 GB of
+    b/g/dinv grids and ~2 GB of solve iterates — past a v5e chip's
+    16 GB before any build transient.  The per-chip cap for this path
+    is 384^3-448^3 (measured rows in BENCHMARKS.md); 512^3 variable
+    kappa is a multi-chip (parallel/halo3d) or streamed-kappa problem.
+    MG_BIG_BUILD=1 overrides (to re-measure the cap)."""
+    import os
+
+    if os.environ.get("MG_BIG_BUILD", "0") == "1":
+        return
+    try:
+        dev = jax.devices()[0]
+        platform = dev.platform.lower()
+    except Exception:
+        return
+    if not ("tpu" in platform or "axon" in platform):
+        return
+    limit = 16 * 1024**3
+    try:
+        stats = dev.memory_stats()
+        if stats and stats.get("bytes_limit"):
+            limit = int(stats["bytes_limit"])
+    except Exception:
+        pass
+    isz = jnp.dtype(dtype).itemsize
+    total = 0
+    for idx, (g, pp) in enumerate(zip(grids, pad_points)):
+        storage = pp if pp is not None else g.shape
+        pts = 1
+        for s in storage:
+            pts *= int(s)
+        k = (len(galerkin_offsets)
+             if galerkin_offsets is not None and idx < len(grids) - 1
+             else len(struct_offsets))
+        planes_sets = 2 if want_jacobi else 1      # A (+ r_planes)
+        total += pts * isz * (k * planes_sets + 3)  # + b, g, dinv
+    fine_pts = 1
+    for s in (pad_points[-1] or grids[-1].shape):
+        fine_pts *= int(s)
+    total += 3 * fine_pts * isz                     # u, f, residual
+    if total <= int(limit * 0.85):                  # HLO temp headroom
+        return
+    raise RuntimeError(
+        f"variable-coefficient hierarchy needs ~{total / 1e9:.1f} GB of "
+        f"steady-state device arrays (K materialized operator planes "
+        f"per level + grids + solve iterates) but the chip has "
+        f"{limit / 1e9:.1f} GB HBM. The single-chip cap for this path "
+        "is ~448^3 (see BENCHMARKS.md); shard the level grids over a "
+        "device mesh (parallel/halo3d) for larger problems, or set "
+        "MG_BIG_BUILD=1 to attempt anyway."
+    )
+
+
 def build_var_hierarchy(
     config: SolverConfig,
     pad_points: Optional[Sequence[Optional[Tuple[int, ...]]]] = None,
@@ -756,6 +817,9 @@ def build_var_hierarchy(
     want_cheby = config.cycle.smoother == "chebyshev"
     galerkin_offsets = tuple(
         sorted(itertools.product((-1, 0, 1), repeat=problem.ndim)))
+    _guard_var_build_hbm(grids, pad_points, template.offsets,
+                         galerkin_offsets if galerkin else None,
+                         want_jacobi, dtype)
 
     def offs_for(idx: int) -> Tuple[Tuple[int, ...], ...]:
         """Static per-level offset set: structural for rediscretized
@@ -767,51 +831,68 @@ def build_var_hierarchy(
             return galerkin_offsets
         return template.offsets
 
+    def _sync(x):
+        """Drain the dispatch queue: under the fully-asynchronous
+        remote-exec runtime block_until_ready returns at dispatch; only
+        a scalar readback proves the previous stage's program ran and
+        its temporaries freed (same rationale as the per-level barrier
+        below, applied between STAGES so raw/elim/embedded plane sets
+        never co-reside — at 384^3 the queued stages otherwise stack
+        ~3 full K-plane sets past HBM)."""
+        float(x.ravel()[0])
+        return x
+
     def _build_level(idx: int, pp, prev_logical):
         """One level's build as a SEQUENCE of small jit units with
-        explicit frees between them.  A single per-level program co-lives
-        every temporary (kappa fields, raw planes, the RAP's window
-        copies, the eliminated planes, the padded copies) in XLA's HLO
-        temp plan — measured OOM at 384^3 even though the end-state
-        arrays are ~7 GB; the staged form's stages each complete in
-        seconds with the previous stage's temporaries already freed
-        (and the many small programs also compile faster than the one
-        big one)."""
+        readback barriers between them.  A single per-level program
+        co-lives every temporary (kappa fields, raw planes, the RAP's
+        window copies, the eliminated planes, the padded copies) in
+        XLA's HLO temp plan — measured OOM at 384^3 even though the
+        end-state arrays are ~7 GB; the staged form's stages each
+        complete in seconds with the previous stage's temporaries
+        already freed (and the many small programs also compile faster
+        than the one big one).  Elimination donates its input: it is a
+        per-plane masked elementwise update, so XLA aliases the K-plane
+        buffer instead of holding raw+eliminated sets simultaneously."""
         g = grids[idx]
         lm = g.points_per_dim
         offs_l = offs_for(idx)
         center = tuple(offs_l).index((0,) * problem.ndim)
 
-        raw = jax.jit(
-            lambda: fv.device_raw_planes(template, g, kappa_fn, dtype))()
+        raw = _sync(jax.jit(
+            lambda: fv.device_raw_planes(template, g, kappa_fn, dtype))())
         # lifting always uses this level's REDISCRETIZED raw operator
         # (matching build_hierarchy, whose b comes from per-level
         # assembly even in Galerkin mode)
         b, gdir = jax.jit(
             lambda r: fv.device_level_b_g(template, g, problem, r, dtype)
         )(raw)
+        _sync(b)
         if galerkin and idx < len(grids) - 1:
-            rap = jax.jit(
+            rap = _sync(jax.jit(
                 lambda e: fv.galerkin_rap_device(
                     offs_for(idx + 1), e, grids[idx + 1].points_per_dim
                 )[1]
-            )(prev_logical)
+            )(prev_logical))
             del raw
             elim = jax.jit(
-                lambda r: fv.eliminate_dirichlet_device(offs_l, r, lm)
+                lambda r: fv.eliminate_dirichlet_device(offs_l, r, lm),
+                donate_argnums=0,
             )(rap)
             del rap
         else:
             elim = jax.jit(
-                lambda r: fv.eliminate_dirichlet_device(offs_l, r, lm)
+                lambda r: fv.eliminate_dirichlet_device(offs_l, r, lm),
+                donate_argnums=0,
             )(raw)
             del raw
+        _sync(elim)
         dinv = jax.jit(
             lambda e: jnp.where(e[center] != 0, 1.0 / e[center], 1.0)
         )(elim)
         rec = {
             "A_logical": elim,
-            "A": jax.jit(lambda e: fv.embed_planes(e, pp))(elim),
+            "A": _sync(jax.jit(lambda e: fv.embed_planes(e, pp))(elim)),
             "b": jax.jit(lambda x: fv.embed_grid(x, pp))(b),
             "g": jax.jit(lambda x: fv.embed_grid(x, pp))(gdir),
             "dinv": jax.jit(
@@ -819,10 +900,10 @@ def build_var_hierarchy(
         }
         del b, gdir
         if want_jacobi:
-            rec["r_planes"] = jax.jit(
+            rec["r_planes"] = _sync(jax.jit(
                 lambda e, d: fv.embed_planes(
                     (e * d[None]).at[center].set(0.0), pp)
-            )(elim, dinv)
+            )(elim, dinv))
         del dinv
         if want_cheby:
             rec["lmax"] = jax.jit(
