@@ -35,11 +35,17 @@ def _build_config(args):
 
         return reference_parity_config()
 
+    kappa = None
+    if args.kappa:
+        from .config import KAPPA_PRESETS
+
+        kappa = KAPPA_PRESETS[args.kappa]
     problem = ProblemSpec(
         ndim=args.ndim,
         degree=args.degree,
         rhs_const=args.rhs_const,
         diagonal=args.diagonal,
+        kappa=kappa,
     )
     hierarchy = HierarchySpec(
         coarsest_elements=args.coarsest_elements,
@@ -181,10 +187,29 @@ def cmd_solve(args) -> int:
         from .solver.mixed import build_mixed
 
         hier = build_mixed(cfg)
+    elif cfg.problem.kappa is not None and cfg.problem.degree == 1:
+        # variable-coefficient flagship path: the whole hierarchy builds
+        # on device (fem.fast_var) — the host assembler is impractical
+        # past ~256^3 (BENCHMARKS.md).  Reference capability: arbitrary
+        # coefficient forms at the entry point
+        # (Multigrid_prototype.py:88-91).
+        from .solver.hierarchy import build_var_hierarchy
+
+        hier = build_var_hierarchy(cfg)
+    elif cfg.problem.kappa is not None:
+        # variable-kappa P2 composes only through the exact host
+        # assembler today (BASELINE config 4 at toy scale; PARITY.md).
+        hier = build_hierarchy(cfg)
+    elif args.lean and args.degree == 2:
+        # plane-free parity-table P2 — the production-scale P2 path
+        # (zero operator bytes in HBM; fem.fast_p2).
+        from .solver.hierarchy import build_p2_hierarchy
+
+        hier = build_p2_hierarchy(cfg)
     elif args.lean:
         from .solver.hierarchy import build_lean_hierarchy
 
-        hier = build_lean_hierarchy(cfg)
+        hier = build_lean_hierarchy(cfg, crop_storage=args.crop)
     else:
         hier = build_hierarchy(cfg)
     t_build = time.perf_counter() - t0
@@ -295,10 +320,24 @@ def main(argv=None) -> int:
                     help="force a jax platform (e.g. cpu, tpu)")
     ps.add_argument("--pallas", action="store_true",
                     help="fused Pallas TPU kernels")
+    ps.add_argument("--kappa", default=None,
+                    choices=("linear", "peak", "layers"),
+                    help="variable diffusion coefficient preset "
+                         "(config.KAPPA_PRESETS); degree 1 routes through "
+                         "the device-side builder (build_var_hierarchy), "
+                         "degree 2 through the exact host assembler")
     ps.add_argument("--lean", action="store_true",
                     help="O(1)-host-memory hierarchy (constant-coefficient "
-                         "P1 only; keeps FEM-L2 residual and error norms "
-                         "via class-table mass + on-the-fly u*)")
+                         "P1 via fast_const, or with --degree 2 the "
+                         "plane-free parity-table P2 path; keeps FEM-L2 "
+                         "residual and error norms via class-table mass + "
+                         "on-the-fly u*)")
+    ps.add_argument("--crop", action="store_true",
+                    help="crop-eligible lean storage: drop the high-"
+                         "boundary Dirichlet planes from 3D level arrays "
+                         "(~20%% less HBM traffic per sweep at 512^3; "
+                         "tolerance solves stop after identical cycle "
+                         "counts via the build-time exact rn_ref)")
     ps.add_argument("--shard", default="none",
                     choices=("none", "gspmd", "halo2d", "halo3d"),
                     help="multi-chip path: GSPMD block sharding or the "

@@ -27,6 +27,45 @@ def _default_exact_3d(x, y, z):
     return 1.0 + x * x + 2.0 * y * y + 3.0 * z * z
 
 
+def _kappa_linear(*xs):
+    """kappa = 1 + x + 2y (+ z): the coefficient of the variable-kappa
+    benches (scripts/bench_planes3.py); smooth, bounded away from 0."""
+    out = 1.0 + xs[0]
+    for i, c in enumerate(xs[1:], start=1):
+        out = out + float(((2, 1, 1)[i - 1])) * c
+    return out
+
+
+def _kappa_peak(*xs):
+    """kappa = 1 + 8 exp(-|x - 1/2|^2 / 0.05): a smooth inclusion with
+    ~9:1 contrast — the standard 'does the smoother see the coefficient'
+    stress for variable-coefficient GMG."""
+    import jax.numpy as jnp
+
+    r2 = sum((c - 0.5) ** 2 for c in xs)
+    return 1.0 + 8.0 * jnp.exp(-r2 / 0.05)
+
+
+def _kappa_layers(*xs):
+    """kappa = 5.5 + 4.5 tanh(20 (y - 1/2)): a smoothed two-layer medium
+    (contrast 10:1 across the mid-plane), jnp-traceable so the device
+    builder (fem.fast_var) can evaluate it from iota coordinates."""
+    import jax.numpy as jnp
+
+    y = xs[1] if len(xs) > 1 else xs[0]
+    return 5.5 + 4.5 * jnp.tanh(20.0 * (y - 0.5))
+
+
+#: Named variable-coefficient presets for the CLI (--kappa <name>) and
+#: benches.  All jnp-traceable (the device builder evaluates them from
+#: broadcast iota coordinates) and strictly positive on the unit box.
+KAPPA_PRESETS = {
+    "linear": _kappa_linear,
+    "peak": _kappa_peak,
+    "layers": _kappa_layers,
+}
+
+
 @dataclasses.dataclass(frozen=True)
 class ProblemSpec:
     """What PDE to solve: -div(kappa grad u) = f on the unit square/cube,

@@ -318,31 +318,65 @@ def galerkin_rap_device(offsets, planes: jax.Array, lm_f: int,
         # chunk's relayout copy costs 128 planes of (rows, lm^2) — 8.5x
         # the K=15 plane math.  A fixed step_c=32 measured OOM at 385
         # (5 GB/chunk); budget ~0.75 GB of padded copy per chunk.
+        #
+        # The interior chunks are ONE `lax.map` over uniform in-range
+        # fine windows (dynamic slices of the UNPADDED planes): at 513^3
+        # the budget gives step_c~2 -> ~129 chunks, and an unrolled graph
+        # of 129 convs is an XLA compile-time blowup (ADVICE r4), while a
+        # z-padded uniform-window copy of the whole K-plane set (the
+        # first rolled attempt) measured RESOURCE_EXHAUSTED at 385^3 —
+        # jnp.pad materializes a full ~3.4 GB copy.  Edge chunks (the
+        # first, whose window starts at -1, and any top chunks whose
+        # window would overrun lm_f) keep the original per-chunk conv
+        # with explicit asymmetric z padding — at most 3 extra convs.
         lm_f = planes.shape[1]
         row_bytes = 128 * planes.shape[2] * planes.shape[3] \
             * planes.dtype.itemsize
         rows_budget = max(6, int(0.75e9 // row_bytes))
         step_c = max(2, (rows_budget - 2) // 2)
-        outs = []
-        for zc0 in range(0, lm_c, step_c):
-            zc1 = min(zc0 + step_c, lm_c)
-            zf0 = max(2 * zc0 - 1, 0)
-            zf1 = min(2 * (zc1 - 1) + 2, lm_f)
-            blk = planes[:, zf0:zf1]
-            pad_lo = 1 - (2 * zc0 - zf0)      # 1 if zf0 == 0 else 0
+        n_chunks = -(-lm_c // step_c)
+        win = 2 * step_c + 1
+
+        def conv_block(blk, pad_z):
             dn = jax.lax.conv_dimension_numbers(
                 (1, len(offsets)) + blk.shape[1:], Wd.shape,
                 ("NCDHW", "OIDHW", "NCDHW"),
             )
-            o = jax.lax.conv_general_dilated(
+            return jax.lax.conv_general_dilated(
                 blk[None], Wd,
                 window_strides=(2,) * ndim,
-                padding=[(pad_lo, 1), (1, 1), (1, 1)],
+                padding=[pad_z, (1, 1), (1, 1)],
                 dimension_numbers=dn,
                 precision=jax.lax.Precision.HIGHEST,
             )[0]
-            outs.append(o[:, : zc1 - zc0])
-        out = jnp.concatenate(outs, axis=1)
+
+        def edge_chunk(c):
+            zc0 = c * step_c
+            zc1 = min(zc0 + step_c, lm_c)
+            zf0 = max(2 * zc0 - 1, 0)
+            zf1 = min(2 * (zc1 - 1) + 2, lm_f)
+            pad_lo = 1 - (2 * zc0 - zf0)      # 1 if zf0 == 0 else 0
+            o = conv_block(planes[:, zf0:zf1], (pad_lo, 1))
+            return o[:, : zc1 - zc0]
+
+        inner = [c for c in range(1, n_chunks)
+                 if 2 * c * step_c - 1 + win <= lm_f]
+        c_end = (inner[-1] + 1) if inner else 1
+        outs = [edge_chunk(0)]
+        if inner:
+            def one_chunk(c):
+                blk = jax.lax.dynamic_slice_in_dim(
+                    planes, 2 * c * step_c - 1, win, axis=1)
+                return conv_block(blk, (0, 0))
+
+            chunks = jax.lax.map(
+                one_chunk, jnp.arange(1, c_end))
+            outs.append(jnp.moveaxis(chunks, 0, 1).reshape(
+                (len(coarse_offsets), len(inner) * step_c)
+                + tuple(chunks.shape[3:])))
+        for c in range(c_end, n_chunks):
+            outs.append(edge_chunk(c))
+        out = jnp.concatenate(outs, axis=1)[:, :lm_c]
     else:
         out = conv(planes)
     assert out.shape == (len(coarse_offsets),) + (lm_c,) * ndim

@@ -355,15 +355,19 @@ def _tet_norm_kernel(zb_ref, v_hbm, f_hbm, out_ref, vwin, fwin,
 
 
 def _pick_tz_tet(Mz, My, Mx, itemsize: int = 4) -> int:
+    import os
+
     slab = My * Mx * itemsize
     budget = 121 * 1024 * 1024
-    for tz in (8, 4, 2):
+    env = os.environ.get("MG_TZ_TET")    # measurement override
+    cand = (int(env),) if env else (8, 4, 2)
+    for tz in cand:
         ws = tz + 4
         # windows + prefetch slots + ttmp, 4 rolled residual planes per
         # window slab held live in the branch body, ~8 corner/temp planes
         need = (2 * ws + 4 * tz + 4) * slab \
             + 4 * (tz + 1) * slab + 8 * slab
-        if Mz % tz == 0 and ws <= Mz and need <= budget:
+        if Mz % tz == 0 and ws <= Mz and (env or need <= budget):
             return tz
     return 0
 

@@ -35,7 +35,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .stencil2d import _roll
-from .stencil3d import _masks3, _rolling_kernel
+from .stencil3d import _branch_offsets, _masks3, _rolling_kernel
 
 
 def _wsel(w4, ym, xm, dtype):
@@ -65,18 +65,30 @@ def _p2_prelude(v, f, z0, shape3, lm, **kw):
     return interior, vt, ym, xm
 
 
-def _p2_slab_acc(vt, ym, xm, ws, wrel, zp, offs, wz, skip_center):
+def _p2_slab_acc(vt, ym, xm, ws, wrel, zp, offs, wz, skip_center,
+                 oob="clamp"):
     """Sum_k w[class(row), k] * vt[row + o_k] for one output slab.  Reads
     are fresh per slab (no cross-slab roll cache — the cache would hold
     up to 50 live planes of Mosaic stack); offsets whose weight plane
-    collapses to zero for this z-parity cost nothing."""
-    dtype = vt.dtype
+    collapses to zero for this z-parity cost nothing.  vt may be a
+    window array or a list of per-slab planes (the quad kernel's
+    pre-masked reads).
+
+    oob='clamp': out-of-window |dz|=2 reads clamp to the window edge —
+    correct for the residual/jacobi kernels, whose clamped rows are
+    bc-masked in the output anyway.  oob='zero': those terms are dropped
+    (read zero) — required by the quad kernel, whose z=0 FACE row is a
+    live output row and whose dz=-2 read must be the zero extension, not
+    the row itself."""
+    dtype = vt[0].dtype if isinstance(vt, (list, tuple)) else vt.dtype
     acc = None
     for k, (dz, dy, dx) in enumerate(offs):
         if skip_center and (dz, dy, dx) == (0, 0, 0):
             continue
         wp = _wsel(wz[zp][k], ym, xm, dtype)
         if wp is None:
+            continue
+        if oob == "zero" and not (0 <= wrel + dz <= ws - 1):
             continue
         # clamp keeps bottom-block |dz|=2 reads of even rows in-window;
         # the clamped cases are exactly rows whose output is bc-masked
@@ -230,3 +242,238 @@ def p2_jacobi_sweep(v, f, lm, parity_weights, offsets, omega,
     on the parity-table P2 operator; None off the fast path."""
     return _call_p2(_p2_jacobi_emit, v, f, lm, parity_weights, offsets,
                     interpret, omega=float(omega))
+
+
+# ----------------------------------------------------------------------
+# Fused FEM-L2 mass quadratic form r^T M r for the parity-table P2 mass
+# (the per-cycle convergence check of P2 tolerance solves / MG-CG; the
+# plain _apply_parity matvec walks K = 51 shifted full-grid passes).
+# Same split as stencil3d_norm.residual_mass_quad: the kernel computes
+# the PARITY-EXTENDED form over all in-box rows (face rows get the
+# weights their lattice parity would imply), and an O(surface) plain-jnp
+# shell delta corrects the 6 face planes to their true raw-row tables —
+# exact, because interior rows of the raw P2 mass are exactly periodic
+# (fem.fast_p2) so weights differ from the parity extension only ON the
+# faces, and reads are identical (in-box values) in both halves.
+# ----------------------------------------------------------------------
+
+def _p2_quad_kernel(zb_ref, r_hbm, out_ref, rwin, rnew, ttmp, sems, *,
+                    Mz, My, Mx, lm, tz, offs, wz):
+    """partial += sum_{rows in slab, in-box} r * (M_par r) over the
+    sequential grid, single (1, 1) SMEM scalar output.  Single-input
+    rolling window (h = 2, even tz -> static slab z-parity)."""
+    h = 2
+    i = pl.program_id(0)
+    nprog = pl.num_programs(0)
+    ws = tz + 2 * h
+    zb = zb_ref[0, 0]
+    h2 = 2 * h
+
+    def start(block):
+        return jnp.clip(block * tz - h, 0, Mz - ws)
+
+    def new_copy(block, slot):
+        z0 = start(block) + h2
+        return pltpu.make_async_copy(
+            r_hbm.at[pl.ds(z0, tz), :, :], rnew.at[slot],
+            sems.at[slot])
+
+    @pl.when(i == 0)
+    def _():
+        c = pltpu.make_async_copy(
+            r_hbm.at[pl.ds(start(0), ws), :, :], rwin, sems.at[2])
+        c.start()
+        if nprog > 1:
+            new_copy(1, 1).start()
+        c.wait()
+
+    @pl.when(i > 0)
+    def _():
+        shift = start(i) - start(i - 1)
+        ttmp[:] = rwin[pl.ds(shift, h2)]
+        rwin[:h2] = ttmp[:]
+        slot = jax.lax.rem(i, jnp.int32(2))
+        new_copy(i, slot).wait()
+        rwin[h2:] = rnew[slot]
+        if nprog > 2:
+            @pl.when(i + 1 < nprog)
+            def _():
+                new_copy(i + 1, jax.lax.rem(i + 1, jnp.int32(2))).start()
+
+    r = rwin[:]
+    z0 = start(i) + zb
+    plane_shape = (My, Mx)
+    y = jax.lax.broadcasted_iota(jnp.int32, plane_shape, 0)
+    x = jax.lax.broadcasted_iota(jnp.int32, plane_shape, 1)
+    inplane_box = (y <= lm - 1) & (x <= lm - 1)
+    ym = (y % 2) == 1
+    xm = (x % 2) == 1
+    zero = jnp.zeros(plane_shape, r.dtype)
+    # in-box masked reads (raw-mode semantics: bc values kept, padding
+    # rows zeroed)
+    rt = [
+        jnp.where(
+            jnp.logical_and(inplane_box, z0 + t <= lm - 1), r[t], zero)
+        for t in range(ws)
+    ]
+    o = i * tz - start(i)
+
+    for oc in _branch_offsets(tz, 2):
+        @pl.when(o == oc)
+        def _(oc=oc):
+            partial = jnp.float32(0.0)
+            for sl in range(tz):
+                wrel = oc + sl
+                zp = wrel % 2            # static: window starts are even
+                acc = _p2_slab_acc(rt, ym, xm, ws, wrel, zp, offs, wz,
+                                   False, oob="zero")
+                if acc is None:
+                    continue
+                partial = partial + jnp.sum(rt[wrel] * acc,
+                                            dtype=jnp.float32)
+            @pl.when(i == 0)
+            def _():
+                out_ref[0, 0] = partial
+
+            @pl.when(i > 0)
+            def _():
+                out_ref[0, 0] = out_ref[0, 0] + partial
+
+
+def _pick_tz_p2_quad(Mz: int, My: int, Mx: int, itemsize: int = 4) -> int:
+    """Even tz; single-input window + the ws in-box-masked read planes
+    held live through the branch body."""
+    slab = My * Mx * itemsize
+    budget = 100 * 1024 * 1024
+    for tz in (4, 2):
+        ws = tz + 4
+        need = (ws + 2 * tz + 4 + 3 * ws + 10) * slab
+        if Mz % tz == 0 and ws <= Mz and need <= budget:
+            return tz
+    return 0
+
+
+def _p2_parity_class_flats(ii, lm):
+    """(true, parity-extended) flat 4^3 class indices from global index
+    iotas — per axis {0: low face, 1: even, 2: odd, 3: high face} vs the
+    parity extension {even -> 1, odd -> 2} everywhere."""
+    ct = None
+    cp = None
+    for a in range(3):
+        par = jnp.where(ii[a] % 2 == 0, 1, 2)
+        t = jnp.where(ii[a] == 0, 0, jnp.where(ii[a] == lm - 1, 3, par))
+        ct = t if ct is None else ct * 4 + t
+        cp = par if cp is None else cp * 4 + par
+    return ct, cp
+
+
+def _p2_shell_delta_quad(r, tables, offsets, lm):
+    """sum_{p on the 6 face planes, in-box} r(p) * sum_k (T_k[true cls]
+    - T_k[parity cls]) r(p + off_k) — the exact correction from the
+    kernel's parity-extended form to the raw-row tables.  O(surface):
+    face strips of 5 rows (radius-2 context); reads wrap into the >= 2
+    zero padding rows of the storage (r is zero outside the box)."""
+    t64 = tables.astype(jnp.float32)
+    acc = jnp.float32(0.0)
+    shape = r.shape
+
+    def strip_term(axis, face_lo):
+        lo = 0 if face_lo else lm - 1
+        lo0 = max(lo - 2, 0)
+        hi0 = min(lo + 3, shape[axis])
+        sl = [slice(None)] * 3
+        sl[axis] = slice(lo0, hi0)
+        rr = r[tuple(sl)]
+        pads = [(0, 0)] * 3
+        pads[axis] = (lo0 - (lo - 2), (lo + 3) - hi0)
+        if any(p != (0, 0) for p in pads):
+            rr = jnp.pad(rr, pads)
+        starts = [0, 0, 0]
+        starts[axis] = lo - 2
+        ii = [
+            jax.lax.broadcasted_iota(jnp.int32, rr.shape, a) + starts[a]
+            for a in range(3)
+        ]
+        inbox = None
+        for a in range(3):
+            b = (ii[a] >= 0) & (ii[a] <= lm - 1)
+            inbox = b if inbox is None else inbox & b
+        rz = jnp.where(inbox, rr, 0.0)
+        ct, cp = _p2_parity_class_flats(ii, lm)
+        tmask = ii[axis] == lo
+        for a in range(axis):
+            tmask = tmask & (ii[a] >= 1) & (ii[a] <= lm - 2)
+        tmask = tmask & inbox
+        out = jnp.float32(0.0)
+        for k, off in enumerate(offsets):
+            dw = t64[k][ct] - t64[k][cp]
+            src = jnp.roll(rz, tuple(-o for o in off), axis=(0, 1, 2))
+            out = out + jnp.sum(jnp.where(tmask, rz * dw * src, 0.0),
+                                dtype=jnp.float32)
+        return out
+
+    for axis in range(3):
+        for face_lo in (True, False):
+            acc = acc + strip_term(axis, face_lo)
+    return acc
+
+
+def p2_mass_quad(r, lm, mass_parity_weights, m_offsets, m_tables,
+                 interpret=False):
+    """q = r^T M r for the raw parity-table P2 mass operator (semantics
+    of StencilOperator._apply_parity in 'raw' mode + dot): one rolling
+    kernel pass over r plus the O(surface) shell delta.  Returns the
+    scalar, or None when the shape doesn't admit the kernel."""
+    Mz, My, Mx = r.shape
+    if Mz % 2 or My % 8 or Mx % 128 or Mz - lm < 4:
+        return None
+    if My - lm < 2 or Mx - lm < 2:
+        return None          # shell rolls rely on >= 2 zero pad rows/cols
+    tz = _pick_tz_p2_quad(Mz, My, Mx, r.dtype.itemsize)
+    if tz == 0 or Mz // tz < 2:
+        return None
+    offs = tuple(map(tuple, m_offsets))
+    wz = _weights_static(mass_parity_weights, offs)
+    ws = tz + 4
+    kernel = functools.partial(
+        _p2_quad_kernel, Mz=Mz, My=My, Mx=Mx, lm=lm, tz=tz,
+        offs=offs, wz=wz,
+    )
+    zb = jnp.zeros((1, 1), jnp.int32)
+    parts = pl.pallas_call(
+        kernel,
+        grid=(Mz // tz,),
+        in_specs=[
+            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((ws, My, Mx), r.dtype),
+            pltpu.VMEM((2, tz, My, Mx), r.dtype),
+            pltpu.VMEM((4, My, Mx), r.dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(zb, r)
+    q_shell = _p2_shell_delta_quad(r, m_tables, offs, lm)
+    return parts[0, 0] + q_shell
+
+
+def p2_residual_mass_quad(v, f, lm, a_parity_weights, a_offsets,
+                          m_parity_weights, m_offsets, m_tables,
+                          interpret=False):
+    """q = r^T M r with r = f - A v on the parity-table P2 operator —
+    the fused per-cycle FEM-L2 convergence check of P2 tolerance solves
+    (two kernel passes: residual, then the mass quadratic form).  None
+    off the fast path (caller falls back to the plain matvec)."""
+    r = p2_residual(v, f, lm, a_parity_weights, a_offsets,
+                    interpret=interpret)
+    if r is None:
+        return None
+    return p2_mass_quad(r, lm, m_parity_weights, m_offsets, m_tables,
+                        interpret=interpret)

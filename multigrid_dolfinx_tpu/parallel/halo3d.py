@@ -334,7 +334,16 @@ def build_halo_solver3d(config: SolverConfig, mesh: Mesh):
     """Returns (hierarchy, solve_fn): the fully explicit distributed 3D
     V-cycle solve (FMG start + tolerance loop) under one shard_map.
     solve_fn(hier) -> (u_global, num_cycles, converged); u_global is
-    z-sharded with the fine level's padded shape."""
+    z-sharded with the fine level's padded shape.
+
+    Variable-coefficient configs dispatch to the z-decomposed planes
+    path (parallel/halo3d_var) — the K coefficient-plane slabs shard
+    alongside v/f, which is how variable-kappa problems scale past the
+    single-chip HBM cap."""
+    if config.problem.kappa is not None:
+        from .halo3d_var import build_halo_var3d
+
+        return build_halo_var3d(config, mesh)
     hier, solve_fn, _, _, _ = _build_halo3d(config, mesh)
     return hier, solve_fn
 
@@ -356,6 +365,10 @@ def build_halo_mgcg3d(config: SolverConfig, mesh: Mesh):
     BASELINE config 5.  mgcg_fn(hier) -> (u_global, num_iters,
     converged, res_hist); iteration counts match solver.krylov.mgcg_solve
     on a single device (tests/test_halo3d.py)."""
+    if config.problem.kappa is not None:
+        from .halo3d_var import build_halo_var_mgcg3d
+
+        return build_halo_var_mgcg3d(config, mesh)
     hier, _, _, mgcg_fn, _ = _build_halo3d(config, mesh)
     return hier, mgcg_fn
 
@@ -411,7 +424,10 @@ def _build_halo3d(config: SolverConfig, mesh: Mesh,
         dispatch.const7_weights(lv.A) for lv in hier.levels
     ]
     if any(w is None for w in weights):
-        raise NotImplementedError("3D halo path: isotropic 7-point only")
+        raise NotImplementedError(
+            "3D halo const path: isotropic 7-point only (variable-kappa "
+            "configs dispatch to parallel/halo3d_var via "
+            "build_halo_solver3d; P2 multi-chip is halo3d_p2)")
     # Chebyshev spectral windows: exact Dirichlet-Laplacian lmax per level
     # (solver.hierarchy.const_lmax_dirichlet), matching what the lean
     # hierarchy's SmootherData now carries on the single-device path.

@@ -128,13 +128,29 @@ def _fused_residual_norm(hier: Hierarchy, spec: CycleSpec, v, f):
     if os.environ.get("MG_FUSED_NORM", "1") != "1":
         return None
     M = hier.M_fine
-    if M is None or M.class_tables is None or v.ndim != 3:
-        return None
-    if not spec.use_pallas:
+    if M is None or v.ndim != 3 or not spec.use_pallas:
         return None
     from ..ops import dispatch
 
     lv = hier.finest
+    if (M.parity_tables is not None and M.parity_weights is not None
+            and dispatch.pallas_parity_eligible(lv.A, tuple(v.shape),
+                                                v.dtype)):
+        # P2 parity-table path: fused residual kernel + fused mass
+        # quadratic form (vs the plain K = 51 shifted-pass matvec the
+        # check otherwise costs every cycle at 513^3 — VERDICT r4 #3).
+        from ..ops.pallas import stencil3d_p2
+
+        q = stencil3d_p2.p2_residual_mass_quad(
+            v, f, lv.A.logical_m, lv.A.parity_weights, lv.A.offsets,
+            M.parity_weights, M.offsets, M.parity_tables,
+            interpret=dispatch.interpret_mode(),
+        )
+        if q is None:
+            return None
+        return jnp.sqrt(jnp.maximum(q, 0.0)).astype(v.dtype)
+    if M.class_tables is None:
+        return None
     if not dispatch.pallas_eligible(lv.A, tuple(v.shape), v.dtype):
         return None
     w = dispatch.const7_weights(lv.A)

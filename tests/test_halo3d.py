@@ -278,3 +278,124 @@ def test_distributed_checkpoint_resume(tmp_path):
                                np.asarray(hist_a)[:kk], rtol=1e-13)
     np.testing.assert_allclose(np.asarray(u_b), np.asarray(u_a),
                                rtol=1e-13, atol=1e-14)
+
+
+@requires_8_devices
+@pytest.mark.isolate
+@pytest.mark.parametrize("smoother,coarse_op", [
+    ("rbgs", "galerkin"),
+    ("jacobi", "galerkin"),
+    ("rbgs", "rediscretize"),
+])
+def test_distributed_var_kappa_matches_single_device(smoother, coarse_op):
+    """The z-decomposed VARIABLE-coefficient solve (parallel/halo3d_var:
+    K-plane slabs sharded alongside v/f, 2^3-color GS with global
+    parities, replicated Galerkin coarse tail) reproduces the
+    single-device build_var_hierarchy solve: identical cycle counts, u to
+    f64 roundoff.  This is the capability the round-4 guard promised
+    ('shard over parallel/halo3d') before the planes path existed."""
+    import dataclasses as _dc
+
+    from multigrid_dolfinx_tpu import build_var_hierarchy, models, solve
+    from multigrid_dolfinx_tpu.config import CycleSpec
+    from multigrid_dolfinx_tpu.parallel.halo3d import build_halo_solver3d
+
+    cyc = CycleSpec(nu1=2, nu2=2, smoother=smoother, restriction="pt",
+                    tol=0.0, rtol=1e-6, max_cycles=40)
+    cfg = models.variable_coefficient_3d(
+        lambda x, y, z: 1.0 + x + 2.0 * y + z,
+        finest_level=3, coarsest_level=1, coarsest_elements=4,
+        dtype="float64", cycle=cyc)
+    cfg = _dc.replace(cfg, hierarchy=_dc.replace(
+        cfg.hierarchy, coarse_operator=coarse_op))
+    r1 = solve(build_var_hierarchy(cfg), cyc, mode="tol")
+    assert bool(r1.converged)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("gz",))
+    hier, solve_fn = build_halo_solver3d(cfg, mesh)
+    u, k, done, hist = solve_fn(hier)
+
+    assert bool(done)
+    assert int(k) == int(r1.num_cycles)
+    m = cfg.hierarchy.elements_at(cfg.hierarchy.finest_level) + 1
+    np.testing.assert_allclose(np.asarray(u)[:m, :m, :m],
+                               np.asarray(r1.u)[:m, :m, :m],
+                               atol=1e-11, rtol=1e-11)
+    kk = int(k)
+    np.testing.assert_allclose(np.asarray(hist)[:kk],
+                               np.asarray(r1.res_hist)[:kk],
+                               rtol=1e-9, atol=1e-13)
+
+
+@requires_8_devices
+@pytest.mark.isolate
+def test_distributed_var_kappa_mgcg_matches_single_device():
+    """Distributed variable-kappa MG-CG (z-decomposed planes V-cycle as
+    preconditioner, psum dots) matches solver.krylov.solve_mgcg iteration
+    counts and solution on the 8-device mesh."""
+    from multigrid_dolfinx_tpu import build_var_hierarchy, models
+    from multigrid_dolfinx_tpu.config import CycleSpec
+    from multigrid_dolfinx_tpu.parallel.halo3d import build_halo_mgcg3d
+    from multigrid_dolfinx_tpu.solver.krylov import solve_mgcg
+
+    cyc = CycleSpec(nu1=2, nu2=2, smoother="rbgs", restriction="pt",
+                    tol=0.0, rtol=1e-6, max_cycles=40)
+    cfg = models.variable_coefficient_3d(
+        lambda x, y, z: 1.0 + x + 2.0 * y + z,
+        finest_level=3, coarsest_level=1, coarsest_elements=4,
+        dtype="float64", cycle=cyc)
+    r1 = solve_mgcg(build_var_hierarchy(cfg), cyc)
+    assert bool(r1.converged)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("gz",))
+    hier, mgcg_fn = build_halo_mgcg3d(cfg, mesh)
+    u, k, conv, hist = mgcg_fn(hier)
+
+    assert bool(conv)
+    assert int(k) == int(r1.num_iters)
+    m = cfg.hierarchy.elements_at(cfg.hierarchy.finest_level) + 1
+    np.testing.assert_allclose(np.asarray(u)[:m, :m, :m],
+                               np.asarray(r1.u)[:m, :m, :m],
+                               atol=1e-10, rtol=1e-10)
+
+
+@requires_8_devices
+@pytest.mark.isolate
+def test_distributed_p2_matches_single_device():
+    """The z-decomposed P2 solve (parallel/halo3d_p2: depth-2 slab
+    halos, global parity/face classes, replicated O(1) parity tables)
+    reproduces the single-device build_p2_hierarchy solve: identical
+    cycle counts, u to f64 roundoff — the multi-chip story of BASELINE
+    config 4's P2 half (VERDICT r4 #5)."""
+    from multigrid_dolfinx_tpu import solve
+    from multigrid_dolfinx_tpu.config import (
+        CycleSpec, HierarchySpec, ProblemSpec, SolverConfig,
+    )
+    from multigrid_dolfinx_tpu.parallel.halo3d_p2 import build_halo_p2_3d
+    from multigrid_dolfinx_tpu.solver.hierarchy import build_p2_hierarchy
+
+    cyc = CycleSpec(nu1=2, nu2=2, smoother="jacobi", restriction="pt",
+                    tol=0.0, rtol=1e-8, max_cycles=40)
+    cfg = SolverConfig(
+        problem=ProblemSpec(ndim=3, degree=2, rhs_const=-12.0),
+        hierarchy=HierarchySpec(coarsest_elements=4, coarsest_level=0,
+                                finest_level=2,
+                                coarse_operator="rediscretize"),
+        cycle=cyc, dtype="float64")
+    r1 = solve(build_p2_hierarchy(cfg), cyc, mode="tol")
+    assert bool(r1.converged)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("gz",))
+    hier, solve_fn = build_halo_p2_3d(cfg, mesh)
+    u, k, done, hist = solve_fn(hier)
+
+    assert bool(done)
+    assert int(k) == int(r1.num_cycles)
+    m = 2 * cfg.hierarchy.elements_at(cfg.hierarchy.finest_level) + 1
+    np.testing.assert_allclose(np.asarray(u)[:m, :m, :m],
+                               np.asarray(r1.u)[:m, :m, :m],
+                               atol=1e-11, rtol=1e-11)
+    kk = int(k)
+    np.testing.assert_allclose(np.asarray(hist)[:kk],
+                               np.asarray(r1.res_hist)[:kk],
+                               rtol=1e-9, atol=1e-13)

@@ -8,7 +8,9 @@ import numpy as np
 import pytest
 
 from multigrid_dolfinx_tpu import build_hierarchy, models, solve
-from multigrid_dolfinx_tpu.config import CycleSpec, ProblemSpec
+from multigrid_dolfinx_tpu.config import (
+    CycleSpec, HierarchySpec, ProblemSpec, SolverConfig,
+)
 from multigrid_dolfinx_tpu.fem import assembly as fa
 from multigrid_dolfinx_tpu.mesh import GridLevel
 
@@ -216,3 +218,30 @@ def test_p2_3d_jacobi_kernel_matches_jnp():
     want = jacobi_smooth(fl.sm, v, fl.b, 2, A=fl.A)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_p2_3d_variable_coefficient_converges_h_independent():
+    """BASELINE config 4 COMPOSED in 3D: variable kappa x P2 elements x
+    Galerkin (RAP) coarse operators, through the exact host assembler
+    (the only var-P2 path; fem.fast_p2 requires constant kappa and
+    fem.fast_var is P1-only — documented cap, see PARITY.md).  Converges
+    at two consecutive mesh sizes with h-independent cycle counts
+    (within 2), the classic GMG property (reference iteration-count
+    sweeps, multigrid.py:296-302)."""
+    kappa = lambda x, y, z: 1.0 + x + 2.0 * y + z
+    cyc = CycleSpec(nu1=3, nu2=3, smoother="rbgs", restriction="pt",
+                    tol=0.0, rtol=1e-8, max_cycles=60)
+    counts = []
+    for finest in (1, 2):
+        cfg = SolverConfig(
+            problem=ProblemSpec(ndim=3, degree=2, rhs_const=-12.0,
+                                kappa=kappa),
+            hierarchy=HierarchySpec(coarsest_elements=4, coarsest_level=0,
+                                    finest_level=finest,
+                                    coarse_operator="galerkin"),
+            cycle=cyc, dtype="float64")
+        hier = build_hierarchy(cfg)
+        res = solve(hier, cyc, mode="tol")
+        assert bool(res.converged)
+        counts.append(int(res.num_cycles))
+    assert abs(counts[1] - counts[0]) <= 2, counts
