@@ -176,3 +176,71 @@ def test_cli_shard_halo2d(tmp_path):
     payload = json.loads(out.stdout.strip().splitlines()[-1])
     assert payload["converged"] is True
     assert payload["devices"] == 4
+
+
+def test_cli_kappa_preset_routes_to_device_var_builder(tmp_path):
+    """--kappa <preset> at degree 1: the CLI routes through the
+    device-side build_var_hierarchy (VERDICT r4 #7 — the flagship var
+    path is now product-reachable) and the solve converges."""
+    cmd = [
+        sys.executable, "-m", "multigrid_dolfinx_tpu", "solve",
+        "--ndim", "2", "--kappa", "linear",
+        "--finest-level", "3", "--coarsest-level", "1",
+        "--nu", "2", "--smoother", "rbgs", "--restriction", "pt",
+        "--tol", "1e-9", "--dtype", "float64", "--platform", "cpu",
+    ]
+    out = subprocess.run(cmd, capture_output=True, text=True,
+                         env=_cpu_env(),
+                         cwd=str(Path(__file__).parent.parent), timeout=900)
+    assert out.returncode == 0, out.stderr[-2000:]
+    payload = json.loads(out.stdout.strip().splitlines()[-1])
+    assert payload["converged"] is True
+    assert payload["final_residual"] <= 1e-9
+
+
+def test_cli_degree2_lean_routes_to_parity_p2(tmp_path):
+    """--degree 2 --lean: the CLI routes through the plane-free
+    parity-table P2 build (build_p2_hierarchy) and composes with
+    --mgcg."""
+    cmd = [
+        sys.executable, "-m", "multigrid_dolfinx_tpu", "solve",
+        "--ndim", "2", "--degree", "2", "--lean",
+        "--finest-level", "2", "--coarsest-level", "0",
+        "--coarsest-elements", "4",
+        "--nu", "2", "--smoother", "jacobi", "--restriction", "pt",
+        "--tol", "0", "--rtol", "1e-8",
+        "--dtype", "float64", "--platform", "cpu", "--mgcg",
+    ]
+    out = subprocess.run(cmd, capture_output=True, text=True,
+                         env=_cpu_env(),
+                         cwd=str(Path(__file__).parent.parent), timeout=900)
+    assert out.returncode == 0, out.stderr[-2000:]
+    payload = json.loads(out.stdout.strip().splitlines()[-1])
+    assert payload["converged"] is True
+
+
+def test_cli_kappa_shard_halo3d(tmp_path):
+    """--kappa + --shard halo3d: the distributed variable-coefficient
+    planes solve from the command line (4 virtual CPU devices) — the
+    composition the round-4 guard advertised before it existed."""
+    import os
+
+    cmd = [
+        sys.executable, "-m", "multigrid_dolfinx_tpu", "solve",
+        "--ndim", "3", "--kappa", "linear",
+        "--finest-level", "2", "--coarsest-level", "1",
+        "--coarsest-elements", "4",
+        "--nu", "2", "--smoother", "rbgs", "--restriction", "pt",
+        "--tol", "0", "--rtol", "1e-6", "--dtype", "float64",
+        "--platform", "cpu", "--shard", "halo3d", "--shard-devices", "4",
+    ]
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        .replace("--xla_force_host_platform_device_count=8",
+                                 "--xla_force_host_platform_device_count=4"))
+    out = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                         cwd=str(Path(__file__).parent.parent), timeout=900)
+    assert out.returncode == 0, out.stderr[-2000:]
+    payload = json.loads(out.stdout.strip().splitlines()[-1])
+    assert payload["converged"] is True
+    assert payload["devices"] == 4
