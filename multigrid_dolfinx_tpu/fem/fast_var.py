@@ -23,9 +23,12 @@ element matrices K_s and the boundary-class load/mass tables — and the
 device builds the hierarchy in device-memory time instead of
 host-allocation time.  Single-chip cap: unlike the plane-free const/P2
 paths this one MATERIALIZES K f32 planes per level, so a 16 GB chip
-tops out near 448^3 (512^3 needs ~15.7 GB of steady-state arrays before
-any transient — solver.hierarchy._guard_var_build_hbm has the
-arithmetic); larger grids shard the planes over a device mesh.
+tops out at 384^3 — MEASURED (BENCHMARKS.md round-5: 384^3 staged
+build 351 s cold / 77 s cached, 341.7 ms/V-cycle, solve to rtol 1e-6
+in 2 FMG-started cycles; 448^3 raises ResourceExhausted mid-build even
+with MG_BIG_BUILD=1 — solver.hierarchy._guard_var_build_hbm has the
+steady-state arithmetic); larger grids shard the planes over a device
+mesh (parallel/halo3d_var).
 
 Replaces the reference capability of dolfinx's general coefficient forms
 (Multigrid_prototype.py:88-91) at production scale.  Requires a

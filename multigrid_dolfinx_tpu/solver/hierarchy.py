@@ -719,9 +719,12 @@ def _guard_var_build_hbm(grids, pad_points, struct_offsets,
     plus ~2.9 GB of 27-offset Galerkin coarse planes, ~2.1 GB of
     b/g/dinv grids and ~2 GB of solve iterates — past a v5e chip's
     16 GB before any build transient.  The per-chip cap for this path
-    is 384^3-448^3 (measured rows in BENCHMARKS.md); 512^3 variable
-    kappa is a multi-chip (parallel/halo3d) or streamed-kappa problem.
-    MG_BIG_BUILD=1 overrides (to re-measure the cap)."""
+    is 384^3, MEASURED on the v5e chip (round-5 rows in BENCHMARKS.md:
+    384^3 builds staged in 351 s cold / 77 s cached and runs 341.7
+    ms/V-cycle; 448^3 raises ResourceExhausted mid-build even with
+    MG_BIG_BUILD=1, estimate 16.3 GB steady state).  512^3 variable
+    kappa is a multi-chip (parallel/halo3d_var) or streamed-kappa
+    problem.  MG_BIG_BUILD=1 overrides (to re-measure the cap)."""
     import os
 
     if os.environ.get("MG_BIG_BUILD", "0") == "1":
@@ -787,9 +790,10 @@ def _guard_var_build_hbm(grids, pad_points, struct_offsets,
         f"variable-coefficient hierarchy needs ~{total / 1e9:.1f} GB of "
         f"steady-state device arrays (K materialized operator planes "
         f"per level + grids + solve iterates) but the chip has "
-        f"{limit / 1e9:.1f} GB HBM. The single-chip cap for this path "
-        "is ~448^3 (see BENCHMARKS.md); shard the level grids over a "
-        "device mesh (parallel/halo3d) for larger problems, or set "
+        f"{limit / 1e9:.1f} GB HBM. The measured single-chip cap for "
+        "this path is 384^3 (448^3 OOMs even staged — BENCHMARKS.md "
+        "round-5 rows); shard the level grids over a device mesh "
+        "(parallel/halo3d_var) for larger problems, or set "
         "MG_BIG_BUILD=1 to attempt anyway."
     )
 

@@ -77,17 +77,26 @@ ms_per_cycle = (time.perf_counter() - t0) / K * 1e3
 print(f"  {ms_per_cycle:.1f} ms/V-cycle", file=sys.stderr, flush=True)
 del v
 
-t0 = time.time()
-res = solve(hier, cyc, mode="tol")
-cycles = int(res.num_cycles)
-converged = bool(res.converged)
-solve_with_compile_s = time.time() - t0
-final_rn = float(res.res_hist[cycles - 1]) if cycles else None
-del res
-t0 = time.perf_counter()
-res = solve(hier, cyc, mode="tol")
-float(res.u[1, 1, 1])
-solve_warm_s = time.perf_counter() - t0
+skip_solve = "--no-solve" in sys.argv
+if skip_solve:
+    # cap probes: the FMG tolerance-solve program costs ~27 min of XLA
+    # compile at 384^3 (and does NOT hit the persistent cache, unlike
+    # the build/cycle programs — measured twice); the cycle-time row is
+    # what the probe is after.
+    cycles = converged = final_rn = None
+    solve_with_compile_s = solve_warm_s = None
+else:
+    t0 = time.time()
+    res = solve(hier, cyc, mode="tol")
+    cycles = int(res.num_cycles)
+    converged = bool(res.converged)
+    solve_with_compile_s = round(time.time() - t0, 1)
+    final_rn = float(res.res_hist[cycles - 1]) if cycles else None
+    del res
+    t0 = time.perf_counter()
+    res = solve(hier, cyc, mode="tol")
+    float(res.u[1, 1, 1])
+    solve_warm_s = round(time.perf_counter() - t0, 2)
 
 print(json.dumps({
     "metric": "var_kappa_scale_3d",
@@ -99,8 +108,8 @@ print(json.dumps({
     "solve_cycles": cycles,
     "solve_converged": converged,
     "solve_final_residual": final_rn,
-    "solve_seconds_incl_compile": round(solve_with_compile_s, 1),
-    "solve_seconds_warm": round(solve_warm_s, 2),
+    "solve_seconds_incl_compile": solve_with_compile_s,
+    "solve_seconds_warm": solve_warm_s,
     "big_build_override": os.environ.get("MG_BIG_BUILD", "0") == "1",
     "platform": jax.devices()[0].platform,
 }), flush=True)
