@@ -205,7 +205,7 @@ def cmd_solve(args) -> int:
         # (zero operator bytes in HBM; fem.fast_p2).
         from .solver.hierarchy import build_p2_hierarchy
 
-        hier = build_p2_hierarchy(cfg)
+        hier = build_p2_hierarchy(cfg, crop_storage=args.crop)
     elif args.lean:
         from .solver.hierarchy import build_lean_hierarchy
 

@@ -191,7 +191,39 @@ def device_p2_level_arrays(
 
         a_tables = jnp.asarray(
             template.a_unit * h ** (ndim - 2), dtype=dt)
-        ag = _raw_table_apply(a_tables, template.offsets, lm, g)
+        # Lifting A_raw g from the LOGICAL grid's boundary values, not
+        # the stored g (mirrors fem.fast_const.device_level_arrays):
+        # with cropped storage (pad_points smaller than the logical
+        # grid — solver/hierarchy crop_storage) the high-boundary node
+        # planes are not stored, yet their Dirichlet values must still
+        # be lifted into the adjacent interior rows (radius-2 stencil:
+        # TWO interior row planes per face).  For full storage this
+        # reproduces _raw_table_apply(g) exactly.
+        r = max(max(abs(c) for c in off) for off in template.offsets)
+        gp_shape = tuple(max(s + 2 * r, lm + 2 * r) for s in shape)
+        gp_coords = [
+            (jax.lax.broadcasted_iota(jnp.int32, gp_shape, ax) - r)
+            .astype(dt) * delta
+            for ax in range(ndim)
+        ]
+        gp_inbox = None
+        gp_interior = None
+        for ax in range(ndim):
+            i = jax.lax.broadcasted_iota(jnp.int32, gp_shape, ax) - r
+            inb = (i >= 0) & (i <= lm - 1)
+            intr = (i >= 1) & (i <= lm - 2)
+            gp_inbox = inb if gp_inbox is None else gp_inbox & inb
+            gp_interior = (intr if gp_interior is None
+                           else gp_interior & intr)
+        gp_bc = gp_inbox & (~gp_interior)
+        gp = jnp.where(gp_bc, jnp.asarray(exact_fn(*gp_coords), dtype=dt),
+                       jnp.zeros(gp_shape, dt))
+        ag = None
+        for k, off in enumerate(template.offsets):
+            sl = tuple(slice(r + o, r + o + s)
+                       for o, s in zip(off, shape))
+            term = a_tables[k].reshape(-1)[cls] * gp[sl]
+            ag = term if ag is None else ag + term
         b = jnp.where(bc, uD, b_raw - ag)
         b = jnp.where(inbox, b, jnp.zeros(shape, dt))
         return b, g

@@ -129,8 +129,16 @@ def _p2_jacobi_emit(aux, v, f, z0, shape3, lm, oc, tz, *, offs, wz, rdz,
         zp = wrel % 2
         acc = _p2_slab_acc(vt, ym, xm, ws, wrel, zp, offs, wz, True)
         dp = _wsel(rdz[zp], ym, xm, vt.dtype)
-        cand = jnp.where(interior[wrel], dp * (f[wrel] - acc), f[wrel])
-        outs.append((1.0 - omega) * v[wrel] + omega * cand)
+        # Dirichlet rows SNAP to f (GS-style) instead of the damped mixing
+        # (1-w) v + w f: after one sweep boundary rows hold exactly f = uD
+        # and every later sweep preserves that bitwise.  Same fixed point,
+        # and it is what makes cropped P2 storage exact — the residual on
+        # (stored and missing) boundary planes is identically zero at
+        # every post-sweep convergence check, so the cropped r^T M r
+        # equals the full-layout value (solver/hierarchy._crop_points_p2).
+        # The host twin (ops.smoothers.jacobi_smooth snap_bc) matches.
+        upd = (1.0 - omega) * v[wrel] + omega * dp * (f[wrel] - acc)
+        outs.append(jnp.where(interior[wrel], upd, f[wrel]))
     return outs
 
 
@@ -427,7 +435,17 @@ def p2_mass_quad(r, lm, mass_parity_weights, m_offsets, m_tables,
     Mz, My, Mx = r.shape
     if Mz % 2 or My % 8 or Mx % 128 or Mz - lm < 4:
         return None
-    if My - lm < 2 or Mx - lm < 2:
+    # Cropped lean storage (solver/hierarchy: in-plane extent lm-1, the
+    # high-boundary plane dropped).  Contract: callers pass a residual
+    # that VANISHES on every boundary row (the snap-jacobi P2 sweeps
+    # guarantee it post-sweep) — then the shell delta is identically
+    # zero (it is a sum over face rows weighted by r(face)) and the main
+    # kernel's circular in-plane wraps land on the zero r of the
+    # opposite boundary rows, so the cropped value equals the
+    # full-layout r^T M r exactly.  Full layouts keep the shell delta
+    # (rn_ref's r = b has nonzero Dirichlet rows).
+    cropped = My == lm - 1 or Mx == lm - 1
+    if not all(s == lm - 1 or s - lm >= 2 for s in (My, Mx)):
         return None          # shell rolls rely on >= 2 zero pad rows/cols
     tz = _pick_tz_p2_quad(Mz, My, Mx, r.dtype.itemsize)
     if tz == 0 or Mz // tz < 2:
@@ -460,6 +478,8 @@ def p2_mass_quad(r, lm, mass_parity_weights, m_offsets, m_tables,
         ),
         interpret=interpret,
     )(zb, r)
+    if cropped:
+        return parts[0, 0]
     q_shell = _p2_shell_delta_quad(r, m_tables, offs, lm)
     return parts[0, 0] + q_shell
 

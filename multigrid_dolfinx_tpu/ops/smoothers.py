@@ -86,13 +86,20 @@ def jacobi_smooth(
     nsweeps: int,
     unroll: bool = False,
     A: Optional[StencilOperator] = None,
+    snap_bc: bool = False,
 ) -> jax.Array:
     """nw sweeps of  v <- (1-w) v + w (Dinv f) - w (R_omega v).
 
     Bitwise-faithful to reference jacobiRelaxation (multigrid.py:223-228)
     modulo summation order inside the matvec; Dinv*f hoisted (the reference
     recomputes it every sweep with identical value — multigrid.py:226).
-    """
+
+    snap_bc=True (parity-table P2 path only) sets Dirichlet rows to f
+    each sweep instead of the damped mixing — the host twin of the
+    stencil3d_p2 jacobi kernel's snap, which cropped P2 storage relies
+    on (boundary residual identically zero at every check).  Never set
+    on the reference-parity paths: the reference mixes bc rows
+    ((1-w) v + w f, multigrid.py:226 with identity rows)."""
     w = sm.omega
     dinv = sm.dinv if sm.dinv is not None else (
         A.dinv() if A is not None else sm.r_omega.dinv()
@@ -109,8 +116,18 @@ def jacobi_smooth(
                 "(smoother != 'jacobi' at build time); pass A or rebuild "
                 "with smoother='jacobi'")
 
-        def sweep(_, v):
-            return v + w * (dinv * (f - A.apply(v)))
+        if snap_bc:
+            from .operators import box_interior_mask
+
+            interior = box_interior_mask(f.shape, A.logical_m)
+
+            def sweep(_, v):
+                v2 = v + w * (dinv * (f - A.apply(v)))
+                return jnp.where(interior, v2, f)
+        else:
+
+            def sweep(_, v):
+                return v + w * (dinv * (f - A.apply(v)))
     else:
         df = dinv * f
 
@@ -425,7 +442,11 @@ def smooth(
             if out is not None:
                 return out
     if kind == "jacobi":
-        return jacobi_smooth(sm, v, f, nsweeps, A=A)
+        # parity-table (P2) operators snap bc rows, matching the
+        # stencil3d_p2 kernel — see jacobi_smooth's docstring.
+        snap = (A is not None and A.parity_tables is not None
+                and A.boundary_mode == "identity")
+        return jacobi_smooth(sm, v, f, nsweeps, A=A, snap_bc=snap)
     if kind == "rbgs":
         return multicolor_gs_smooth(sm, A, v, f, nsweeps)
     if kind == "chebyshev":

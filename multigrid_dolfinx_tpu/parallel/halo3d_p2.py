@@ -193,9 +193,14 @@ def build_halo_p2_3d(config: SolverConfig, mesh: Mesh):
 
         def smooth(li, v, f, n):
             di = dinv(li, v.shape)
+            # snap bc rows to f each sweep — the distributed twin of the
+            # single-device P2 jacobi's snap (stencil3d_p2 /
+            # jacobi_smooth snap_bc); equivalence tests compare iterates.
+            _, interior, _ = gcls(v.shape, zoff(li), lms[li])
 
             def sweep(_, vv):
-                return vv + omega * (di * residual(li, vv, f))
+                v2 = vv + omega * (di * residual(li, vv, f))
+                return jnp.where(interior, v2, f)
 
             if n <= 2:
                 for k in range(n):

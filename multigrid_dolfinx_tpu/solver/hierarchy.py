@@ -596,9 +596,35 @@ def _full_layout_rn_ref(template, grid, problem, dtype, fine_level, M_fine):
     M_full = dataclasses.replace(M_fine, grid_shape=full_pp)
     return mass_norm(M_full, b_full).astype(dtype)
 
+def _crop_points_p2(n: int) -> Optional[Tuple[int, int, int]]:
+    """Cropped storage for one 3D P2 level (half-step lattice, lm = 2n+1
+    points per axis), or None if ineligible.  Same move as
+    _crop_points_3d: drop the high-boundary Dirichlet plane in y and x
+    (lane dim roundup(2n+1, 128) -> 2n when 2n is a multiple of 128 —
+    at the 513^3 production lattice that is 640 -> 512, ~21% of every
+    sweep's lanes were tile padding).  Correctness is carried by the
+    snap-jacobi contract (stencil3d_p2._p2_jacobi_emit): boundary rows
+    hold exactly f = uD after every sweep, so (a) the radius-2 circular
+    in-plane wraps land on interior-masked or exactly-zero-weighted
+    values (odd-parity rows have identically zero |d|=2 couplings —
+    element support), and (b) the residual vanishes on stored AND
+    missing boundary planes at every post-sweep convergence check,
+    making the cropped r^T M r equal the full-layout value exactly
+    (ops/pallas/stencil3d_p2.p2_mass_quad's cropped admission)."""
+    npts = 2 * n
+    if npts < 128 or npts % 128 != 0:
+        return None
+
+    def _r(x, m):
+        return ((x + m - 1) // m) * m
+
+    return (_r(2 * n + 1, 8), npts, npts)
+
+
 def build_p2_hierarchy(
     config: SolverConfig,
     pad_points: Optional[Sequence[Optional[Tuple[int, ...]]]] = None,
+    crop_storage: bool = False,
 ) -> Hierarchy:
     """Scale-mode hierarchy for CONSTANT-coefficient P2: every level is a
     plane-free parity-class-table operator (fem.fast_p2 — the interior
@@ -627,6 +653,14 @@ def build_p2_hierarchy(
     ndim = problem.ndim
 
     lms = [2 * g.n + 1 for g in grids]
+    if crop_storage and config.cycle.smoother != "jacobi":
+        # the crop correctness contract is the snap-jacobi sweep
+        # (boundary rows exactly f after every sweep — see
+        # _crop_points_p2); chebyshev only preserves an already-exact
+        # boundary, it never establishes one.
+        raise ValueError(
+            "P2 crop_storage requires smoother='jacobi' (the snap "
+            f"contract); got {config.cycle.smoother!r}")
     if pad_points is None:
         if config.cycle.use_pallas:
             def _r(x, m):
@@ -636,7 +670,9 @@ def build_p2_hierarchy(
                 pad_points = [(_r(lm, 128), _r(lm, 128)) for lm in lms]
             else:
                 pad_points = [
-                    (_r(lm, 8), _r(lm, 8), _r(lm, 128)) for lm in lms
+                    (_crop_points_p2(g.n) if crop_storage else None)
+                    or (_r(lm, 8), _r(lm, 8), _r(lm, 128))
+                    for g, lm in zip(grids, lms)
                 ]
         else:
             pad_points = [None] * len(grids)
@@ -698,11 +734,47 @@ def build_p2_hierarchy(
         parity_weights=tuple(map(tuple, m_np.tolist())),
     )
     eq = error_quadrature(g_f, problem)
+
+    # Cropped storage cannot see the missing high-boundary planes' r = b
+    # contribution to ||b - A*0||_M (same move as build_lean_hierarchy):
+    # compute the EXACT full-storage zero-iterate norm once at build on
+    # a transient full-layout b, through the same fused kernel path the
+    # full-storage check uses (residual + mass quad WITH the shell
+    # delta — r = b has nonzero Dirichlet rows there).
+    rn_ref = None
+    if any(s < lms[-1] for s in levels[-1].shape):
+        def _r8(x, m):
+            return ((x + m - 1) // m) * m
+
+        lm_f = lms[-1]
+        full_pp = (_r8(lm_f, 8), _r8(lm_f, 8), _r8(lm_f, 128))
+        b_full, _ = fp2.device_p2_level_arrays(
+            template, g_f.n, problem, dtype, full_pp)
+        from ..ops import dispatch as _dispatch
+        from ..ops.pallas import stencil3d_p2 as _s3p2
+
+        A_f = levels[-1].A
+        q = _s3p2.p2_residual_mass_quad(
+            jnp.zeros_like(b_full), b_full, lm_f,
+            A_f.parity_weights, A_f.offsets,
+            M_fine.parity_weights, M_fine.offsets, M_fine.parity_tables,
+            interpret=_dispatch.interpret_mode(),
+        )
+        if q is not None:
+            rn_ref = jnp.sqrt(jnp.maximum(q, 0.0)).astype(dtype)
+        else:
+            M_full = dataclasses.replace(M_fine, grid_shape=full_pp)
+            from ..ops.operators import mass_norm
+
+            rn_ref = mass_norm(M_full, b_full).astype(dtype)
+        del b_full
+
     return Hierarchy(
         levels=tuple(levels),
         coarse=coarse,
         M_fine=M_fine,
         err_quad=ErrorQuad.from_quadrature(eq),
+        rn_ref=rn_ref,
     )
 
 

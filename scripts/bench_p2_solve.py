@@ -36,6 +36,7 @@ from multigrid_dolfinx_tpu.solver.krylov import solve_mgcg
 from multigrid_dolfinx_tpu.solver.vcycle import compute_residual
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+CROP = "--crop" in sys.argv
 base, finest = factor_levels(N)
 cyc = CycleSpec(nu1=2, nu2=2,
                 smoother=os.environ.get("MG_P2_SMOOTHER", "jacobi"),
@@ -54,7 +55,7 @@ ndofs = (2 * N + 1) ** 3
 print(f"building P2 parity hierarchy ({N}^3 el, {ndofs / 1e6:.0f}M DOFs)",
       file=sys.stderr, flush=True)
 t0 = time.time()
-hier = build_p2_hierarchy(cfg)
+hier = build_p2_hierarchy(cfg, crop_storage=CROP)
 jax.block_until_ready(hier.finest.b)
 build_s = time.time() - t0
 print(f"  build {build_s:.1f}s", file=sys.stderr, flush=True)
@@ -86,7 +87,30 @@ ms_plain = timeit(plain, v, f)
 rel = abs(rn_fused - rn_plain) / max(rn_plain, 1e-30)
 print(f"  check: fused {ms_fused:.1f} ms vs plain {ms_plain:.1f} ms "
       f"(rel diff {rel:.2e})", file=sys.stderr, flush=True)
-del v
+
+# V-cycle throughput on this storage layout (round-4's 92.5 ms row was
+# full layout; --crop drops ~21% of the lanes)
+from multigrid_dolfinx_tpu.solver.vcycle import vcycle
+
+KCYC = 10
+L = hier.num_levels - 1
+
+
+@jax.jit
+def run_cycles(h, vv):
+    return jax.lax.fori_loop(
+        0, KCYC, lambda i, u: vcycle(h, cyc, L, u, h.finest.b), vv)
+
+
+vw = run_cycles(hier, v)
+float(vw[1, 1, 1])
+t0 = time.perf_counter()
+vw = run_cycles(hier, vw)
+float(vw[1, 1, 1])
+ms_cycle = (time.perf_counter() - t0) / KCYC * 1e3
+print(f"  {ms_cycle:.1f} ms/V-cycle ({'crop' if CROP else 'full'})",
+      file=sys.stderr, flush=True)
+del vw, v
 
 t0 = time.time()
 res = solve(hier, cyc, mode="tol")
@@ -117,6 +141,9 @@ mgcg_warm = time.perf_counter() - t0
 print(json.dumps({
     "metric": "p2_solve_3d",
     "n_elements": N, "ndofs": ndofs,
+    "crop": CROP,
+    "ms_per_vcycle": round(ms_cycle, 2),
+    "gdof_per_s": round(ndofs / ms_cycle / 1e6, 2),
     "build_seconds": round(build_s, 1),
     "check_ms_fused": round(ms_fused, 2),
     "check_ms_plain": round(ms_plain, 2),

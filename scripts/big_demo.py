@@ -40,6 +40,7 @@ from multigrid_dolfinx_tpu.mesh import factor_levels
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 768
 K = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 DO_SOLVE = "--solve" in sys.argv
+CROP = "--crop" in sys.argv          # 768 % 128 == 0 -> crop-eligible
 
 base, finest = factor_levels(N)
 cyc = CycleSpec(nu1=2, nu2=2, smoother="rbgs", restriction="pt",
@@ -48,7 +49,7 @@ cyc = CycleSpec(nu1=2, nu2=2, smoother="rbgs", restriction="pt",
 cfg = models.poisson3d(finest_level=finest, coarsest_level=max(0, finest - 6),
                        coarsest_elements=base, dtype="float32", cycle=cyc)
 print(f"building lean hierarchy ({N}^3)...", file=sys.stderr)
-hier = build_lean_hierarchy(cfg, store_g=False)
+hier = build_lean_hierarchy(cfg, store_g=False, crop_storage=CROP)
 jax.block_until_ready(hier.finest.b)
 L = hier.num_levels - 1
 
@@ -78,6 +79,7 @@ out = {
     "metric": "vcycle_throughput_3d_poisson_biggrid",
     "n": N,
     "ndofs": ndofs,
+    "crop": CROP,
     "ms_per_vcycle": round(dt * 1e3, 2),
     "gdof_per_s": round(ndofs / dt / 1e9, 2),
     "platform": jax.devices()[0].platform,

@@ -184,7 +184,9 @@ def test_p2_kernel_jacobi_matches_jnp():
         v, f, fl.n + 1, fl.A.parity_weights, fl.A.offsets,
         fl.sm.omega, interpret=True)
     assert got is not None
-    want = jacobi_smooth(fl.sm, v, f, 1, A=fl.A)
+    # snap_bc: the parity kernel snaps Dirichlet rows to f (the crop
+    # contract) and the host twin must match it
+    want = jacobi_smooth(fl.sm, v, f, 1, A=fl.A, snap_bc=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=3e-5, atol=3e-5)
 
@@ -252,3 +254,145 @@ def test_p2_fused_norm_matches_plain_check():
         hier, compute_residual(fl, v, f, use_pallas=False))
     np.testing.assert_allclose(float(rn), float(want),
                                rtol=3e-5, atol=3e-6)
+
+
+# ----------------------------------------------------------------------
+# Cropped P2 lean storage (solver/hierarchy._crop_points_p2): drop the
+# high-boundary Dirichlet plane in y/x on crop-eligible levels.  The
+# correctness contract is the SNAP-jacobi sweep (boundary rows hold
+# exactly f = uD after every sweep) — mirrored from tests/test_lean.py's
+# P1 crop suite.
+# ----------------------------------------------------------------------
+
+def _crop_cfg_p2(rtol=1e-5, max_cycles=10):
+    cyc = CycleSpec(nu1=2, nu2=2, smoother="jacobi", restriction="pt",
+                    tol=0.0, rtol=rtol, max_cycles=max_cycles,
+                    use_pallas=True, track_error=False)
+    return SolverConfig(
+        problem=ProblemSpec(ndim=3, degree=2, rhs_const=-12.0),
+        hierarchy=HierarchySpec(coarsest_elements=8, coarsest_level=0,
+                                finest_level=3,
+                                coarse_operator="rediscretize"),
+        cycle=cyc, dtype="float32")
+
+
+def test_p2_crop_points_policy():
+    from multigrid_dolfinx_tpu.solver.hierarchy import _crop_points_p2
+
+    assert _crop_points_p2(256) == (520, 512, 512)   # lm 513 production
+    assert _crop_points_p2(128) == (264, 256, 256)
+    assert _crop_points_p2(64) == (136, 128, 128)
+    assert _crop_points_p2(32) is None               # 64 % 128 != 0
+    assert _crop_points_p2(96) is None               # 192 % 128 != 0
+
+
+def test_p2_crop_requires_snap_jacobi():
+    import dataclasses as dc
+
+    cfg = _crop_cfg_p2()
+    cfg = dc.replace(cfg, cycle=dc.replace(cfg.cycle,
+                                           smoother="chebyshev"))
+    with pytest.raises(ValueError, match="snap"):
+        build_p2_hierarchy(cfg, crop_storage=True)
+
+
+def test_p2_jacobi_snap_bc_rows():
+    """After ONE parity-kernel jacobi sweep, Dirichlet rows hold exactly
+    f (bitwise) — the invariant cropped storage's norm equality rests
+    on; the host A-form twin (snap_bc, engaged by ops.smoothers.smooth
+    for parity-table operators) matches the kernel everywhere."""
+    from multigrid_dolfinx_tpu.fem.fast_p2 import _inbox
+    from multigrid_dolfinx_tpu.ops.pallas import stencil3d_p2
+    from multigrid_dolfinx_tpu.ops.smoothers import smooth
+
+    cfg, hier, fl, v, f = _p2_pallas_fixture()
+    lm = fl.n + 1
+    got = stencil3d_p2.p2_jacobi_sweep(
+        v, f, lm, fl.A.parity_weights, fl.A.offsets, fl.sm.omega,
+        interpret=True)
+    assert got is not None
+    box = _inbox(fl.shape, lm)
+    interior = box_interior_mask(fl.shape, lm)
+    bc = np.asarray(box & (~interior))
+    np.testing.assert_array_equal(np.asarray(got)[bc], np.asarray(f)[bc])
+    want = smooth(fl.sm, fl.A, v, f, 1, "jacobi", use_pallas=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-5, atol=3e-5)
+
+
+def test_p2_cropped_vcycle_matches_full_on_overlap():
+    """crop_storage=True stores the lm=129 finest level in
+    (136, 128, 128) instead of (136, 136, 256); builds and one V-cycle
+    agree with full storage on the stored overlap, and the fused FEM-L2
+    check agrees (boundary residual is identically zero post-sweep under
+    snap-jacobi)."""
+    from multigrid_dolfinx_tpu.solver.fmg import _fused_residual_norm
+    from multigrid_dolfinx_tpu.solver.vcycle import vcycle
+
+    cfg = _crop_cfg_p2()
+    h_full = build_p2_hierarchy(cfg)
+    h_crop = build_p2_hierarchy(cfg, crop_storage=True)
+    assert h_full.finest.shape == (136, 136, 256)
+    assert h_crop.finest.shape == (136, 128, 128)
+    L = h_full.num_levels - 1
+
+    bf = np.asarray(h_full.finest.b)
+    bc = np.asarray(h_crop.finest.b)
+    sz, sy, sx = bc.shape
+    np.testing.assert_array_equal(bf[:sz, :sy, :sx], bc)
+
+    vf = vcycle(h_full, cfg.cycle, L, jnp.zeros_like(h_full.finest.b),
+                h_full.finest.b)
+    vc = vcycle(h_crop, cfg.cycle, L, jnp.zeros_like(h_crop.finest.b),
+                h_crop.finest.b)
+    np.testing.assert_allclose(np.asarray(vf)[:sz, :sy, :sx],
+                               np.asarray(vc), rtol=2e-5, atol=2e-5)
+
+    nf = _fused_residual_norm(h_full, cfg.cycle, vf, h_full.finest.b)
+    nc = _fused_residual_norm(h_crop, cfg.cycle, vc, h_crop.finest.b)
+    assert nf is not None and nc is not None
+    np.testing.assert_allclose(float(nf), float(nc), rtol=1e-5)
+
+
+def test_p2_cropped_rn_ref_is_exact_full_storage_value():
+    """P2 crop builds precompute ||b - A*0||_M on a transient FULL
+    layout through the same fused residual+quad path (WITH the shell
+    delta — r = b has nonzero Dirichlet rows there)."""
+    from multigrid_dolfinx_tpu.solver.fmg import _fused_residual_norm
+
+    cfg = _crop_cfg_p2()
+    h_full = build_p2_hierarchy(cfg)
+    h_crop = build_p2_hierarchy(cfg, crop_storage=True)
+    assert h_full.rn_ref is None and h_crop.rn_ref is not None
+    ref_full = _fused_residual_norm(
+        h_full, cfg.cycle, jnp.zeros_like(h_full.finest.b),
+        h_full.finest.b)
+    assert ref_full is not None
+    np.testing.assert_allclose(float(h_crop.rn_ref), float(ref_full),
+                               rtol=1e-6)
+    nc = _fused_residual_norm(
+        h_crop, cfg.cycle, jnp.zeros_like(h_crop.finest.b),
+        h_crop.finest.b)
+    assert float(h_crop.rn_ref) > float(nc)
+
+
+def test_p2_cropped_tolerance_solve_matches_full():
+    """End-to-end FMG + tolerance solve on cropped P2 storage stops
+    after the IDENTICAL cycle count as full storage with matching
+    residual histories (crop-aware ramp + exact rn_ref + zero boundary
+    residual under snap-jacobi)."""
+    cfg = _crop_cfg_p2()
+    h_full = build_p2_hierarchy(cfg)
+    h_crop = build_p2_hierarchy(cfg, crop_storage=True)
+    r_full = solve(h_full, cfg.cycle, mode="tol")
+    r_crop = solve(h_crop, cfg.cycle, mode="tol")
+    assert bool(r_full.converged) and bool(r_crop.converged)
+    assert int(r_full.num_cycles) == int(r_crop.num_cycles)
+    k = int(r_full.num_cycles)
+    np.testing.assert_allclose(
+        np.asarray(r_full.res_hist[:k]), np.asarray(r_crop.res_hist[:k]),
+        rtol=1e-4)
+    sz, sy, sx = r_crop.u.shape
+    np.testing.assert_allclose(
+        np.asarray(r_full.u)[:sz, :sy, :sx], np.asarray(r_crop.u),
+        rtol=2e-5, atol=2e-5)
