@@ -189,42 +189,92 @@ def device_p2_level_arrays(
         loadw = jnp.asarray(template.load_unit, dtype=dt)[cls]
         b_raw = dt.type(template.rhs_const * h ** ndim) * loadw
 
-        a_tables = jnp.asarray(
-            template.a_unit * h ** (ndim - 2), dtype=dt)
+        a_tables = np.asarray(template.a_unit * h ** (ndim - 2))
         # Lifting A_raw g from the LOGICAL grid's boundary values, not
-        # the stored g (mirrors fem.fast_const.device_level_arrays):
-        # with cropped storage (pad_points smaller than the logical
-        # grid — solver/hierarchy crop_storage) the high-boundary node
-        # planes are not stored, yet their Dirichlet values must still
-        # be lifted into the adjacent interior rows (radius-2 stencil:
-        # TWO interior row planes per face).  For full storage this
-        # reproduces _raw_table_apply(g) exactly.
-        r = max(max(abs(c) for c in off) for off in template.offsets)
-        gp_shape = tuple(max(s + 2 * r, lm + 2 * r) for s in shape)
-        gp_coords = [
-            (jax.lax.broadcasted_iota(jnp.int32, gp_shape, ax) - r)
-            .astype(dt) * delta
-            for ax in range(ndim)
-        ]
-        gp_inbox = None
-        gp_interior = None
+        # the stored g: with cropped storage (pad_points smaller than
+        # the logical grid — solver/hierarchy crop_storage) the
+        # high-boundary node planes are not stored, yet their Dirichlet
+        # values must still be lifted into the adjacent interior rows
+        # (radius-2 stencil: TWO interior row planes per face).  The
+        # lifting is O(surface): g is supported only on the boundary
+        # shell, so A_raw g is nonzero only within 2 rows of a face —
+        # computed face-by-face on 2D strips (a full-volume formulation
+        # measured an 18.2 GB XLA program at the cropped 513^3 build,
+        # 2.4 GB past HBM; this one is a few MB of plane temporaries).
+        # Faces PARTITION the shell (a node on several faces belongs to
+        # the lowest-axis one — the _p2_shell_delta_quad tmask rule), so
+        # no edge/corner double counting.
+        b = b_raw
         for ax in range(ndim):
-            i = jax.lax.broadcasted_iota(jnp.int32, gp_shape, ax) - r
-            inb = (i >= 0) & (i <= lm - 1)
-            intr = (i >= 1) & (i <= lm - 2)
-            gp_inbox = inb if gp_inbox is None else gp_inbox & inb
-            gp_interior = (intr if gp_interior is None
-                           else gp_interior & intr)
-        gp_bc = gp_inbox & (~gp_interior)
-        gp = jnp.where(gp_bc, jnp.asarray(exact_fn(*gp_coords), dtype=dt),
-                       jnp.zeros(gp_shape, dt))
-        ag = None
-        for k, off in enumerate(template.offsets):
-            sl = tuple(slice(r + o, r + o + s)
-                       for o, s in zip(off, shape))
-            term = a_tables[k].reshape(-1)[cls] * gp[sl]
-            ag = term if ag is None else ag + term
-        b = jnp.where(bc, uD, b_raw - ag)
+            in_axes = [a2 for a2 in range(ndim) if a2 != ax]
+            # planes live on the LOGICAL in-plane extent (cropped
+            # storage drops the lm-1 columns, but a face's edge nodes
+            # there still lift into stored interior rows)
+            pshape = tuple(max(shape[a2], lm) for a2 in in_axes)
+            piota = [jax.lax.broadcasted_iota(jnp.int32, pshape, pa)
+                     for pa in range(ndim - 1)]
+            pcls = [jnp.where(i2 == 0, 0,
+                              jnp.where(i2 == lm - 1, 3,
+                                        jnp.where(i2 % 2 == 0, 1, 2)))
+                    for i2 in piota]
+            for face in (0, lm - 1):
+                pcoords = []
+                for a2 in range(ndim):
+                    if a2 == ax:
+                        pcoords.append(jnp.full(pshape, face * delta, dt))
+                    else:
+                        pa = in_axes.index(a2)
+                        pcoords.append(piota[pa].astype(dt) * delta)
+                gplane = jnp.asarray(exact_fn(*pcoords), dtype=dt)
+                own = None           # partition of the shell + box
+                for pa, a2 in enumerate(in_axes):
+                    i2 = piota[pa]
+                    m = (((i2 >= 1) & (i2 <= lm - 2)) if a2 < ax
+                         else ((i2 >= 0) & (i2 <= lm - 1)))
+                    own = m if own is None else own & m
+                gplane = jnp.where(own, gplane, jnp.zeros_like(gplane))
+                for oax in (-2, -1, 0, 1, 2):
+                    out_row = face - oax
+                    if not (0 <= out_row <= lm - 1):
+                        continue
+                    if out_row >= shape[ax]:
+                        continue     # cropped-away output plane
+                    if out_row in (0, lm - 1):
+                        continue     # bc row: overwritten with uD below
+                    c_ax = 1 if out_row % 2 == 0 else 2
+                    contrib = None
+                    for k, off in enumerate(template.offsets):
+                        if off[ax] != oax:
+                            continue
+                        flat = None      # flat 4^d class like _parity_class
+                        for a2 in range(ndim):
+                            c = (c_ax if a2 == ax
+                                 else pcls[in_axes.index(a2)])
+                            flat = c if flat is None else flat * 4 + c
+                        wplane = jnp.asarray(
+                            a_tables[k], dtype=dt).reshape(-1)[flat]
+                        src = gplane
+                        for pa, a2 in enumerate(in_axes):
+                            o2 = off[a2]
+                            if o2:
+                                src = jnp.roll(src, -o2, axis=pa)
+                                valid = ((piota[pa] + o2 >= 0)
+                                         & (piota[pa] + o2 <= lm - 1))
+                                src = jnp.where(valid, src,
+                                                jnp.zeros_like(src))
+                        term = wplane * src
+                        contrib = term if contrib is None else (
+                            contrib + term)
+                    if contrib is None:
+                        continue
+                    # back to the stored in-plane extent
+                    contrib = contrib[tuple(
+                        slice(0, shape[a2]) for a2 in in_axes)]
+                    sl = tuple(
+                        slice(out_row, out_row + 1) if a2 == ax
+                        else slice(None) for a2 in range(ndim))
+                    b = b.at[sl].add(-jnp.expand_dims(contrib, ax))
+        b = jnp.where(bc, uD, b)
         b = jnp.where(inbox, b, jnp.zeros(shape, dt))
         return b, g
 

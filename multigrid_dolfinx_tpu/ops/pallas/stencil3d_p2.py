@@ -427,7 +427,7 @@ def _p2_shell_delta_quad(r, tables, offsets, lm):
 
 
 def p2_mass_quad(r, lm, mass_parity_weights, m_offsets, m_tables,
-                 interpret=False):
+                 interpret=False, include_shell=True):
     """q = r^T M r for the raw parity-table P2 mass operator (semantics
     of StencilOperator._apply_parity in 'raw' mode + dot): one rolling
     kernel pass over r plus the O(surface) shell delta.  Returns the
@@ -478,7 +478,12 @@ def p2_mass_quad(r, lm, mass_parity_weights, m_offsets, m_tables,
         ),
         interpret=interpret,
     )(zb, r)
-    if cropped:
+    if cropped or not include_shell:
+        # include_shell=False: caller certifies r vanishes on every
+        # boundary row (the post-sweep snap-jacobi contract) — the
+        # delta is then identically zero, and its ~90 small unfused
+        # strip ops measured 4.1 s/call at the full 513^3 layout
+        # (vs 44-86 ms for the kernel itself).
         return parts[0, 0]
     q_shell = _p2_shell_delta_quad(r, m_tables, offs, lm)
     return parts[0, 0] + q_shell
@@ -486,14 +491,16 @@ def p2_mass_quad(r, lm, mass_parity_weights, m_offsets, m_tables,
 
 def p2_residual_mass_quad(v, f, lm, a_parity_weights, a_offsets,
                           m_parity_weights, m_offsets, m_tables,
-                          interpret=False):
+                          interpret=False, include_shell=True):
     """q = r^T M r with r = f - A v on the parity-table P2 operator —
     the fused per-cycle FEM-L2 convergence check of P2 tolerance solves
     (two kernel passes: residual, then the mass quadratic form).  None
-    off the fast path (caller falls back to the plain matvec)."""
+    off the fast path (caller falls back to the plain matvec).
+    include_shell=False under the post-sweep snap contract (see
+    p2_mass_quad)."""
     r = p2_residual(v, f, lm, a_parity_weights, a_offsets,
                     interpret=interpret)
     if r is None:
         return None
     return p2_mass_quad(r, lm, m_parity_weights, m_offsets, m_tables,
-                        interpret=interpret)
+                        interpret=interpret, include_shell=include_shell)

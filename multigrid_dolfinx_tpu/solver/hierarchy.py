@@ -735,21 +735,26 @@ def build_p2_hierarchy(
     )
     eq = error_quadrature(g_f, problem)
 
-    # Cropped storage cannot see the missing high-boundary planes' r = b
-    # contribution to ||b - A*0||_M (same move as build_lean_hierarchy):
-    # compute the EXACT full-storage zero-iterate norm once at build on
-    # a transient full-layout b, through the same fused kernel path the
-    # full-storage check uses (residual + mass quad WITH the shell
-    # delta — r = b has nonzero Dirichlet rows there).
+    # ||b - A*0||_M precomputed at build for EVERY 3D parity hierarchy
+    # (not only cropped ones): the zero iterate's residual r = b carries
+    # nonzero Dirichlet rows, whose O(surface) shell contribution the
+    # per-cycle fused check deliberately skips (include_shell=False —
+    # valid only post-sweep).  Cropped storage additionally cannot even
+    # see the missing high-boundary planes.  Computing the exact
+    # full-layout value here keeps rtol thresholds identical across
+    # storage layouts.
     rn_ref = None
-    if any(s < lms[-1] for s in levels[-1].shape):
+    if ndim == 3 and config.cycle.use_pallas:
         def _r8(x, m):
             return ((x + m - 1) // m) * m
 
         lm_f = lms[-1]
         full_pp = (_r8(lm_f, 8), _r8(lm_f, 8), _r8(lm_f, 128))
-        b_full, _ = fp2.device_p2_level_arrays(
-            template, g_f.n, problem, dtype, full_pp)
+        if tuple(levels[-1].shape) == full_pp:
+            b_full = levels[-1].b          # already full layout
+        else:
+            b_full, _ = fp2.device_p2_level_arrays(
+                template, g_f.n, problem, dtype, full_pp)
         from ..ops import dispatch as _dispatch
         from ..ops.pallas import stencil3d_p2 as _s3p2
 

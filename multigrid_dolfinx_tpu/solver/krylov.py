@@ -79,7 +79,14 @@ def mgcg_solve(
         if spec.use_pallas:
             from ..ops import dispatch
 
-            if dispatch.pallas_eligible(A, p.shape, p.dtype):
+            # parity (P2) operators MUST take the fused path too: the
+            # plain _apply_parity matvec is K=51 full-grid class-gather
+            # passes, which XLA materializes — measured 48.8 GB of HLO
+            # temps (compile-time OOM) inside the CG while-loop at the
+            # cropped 513^3 lattice.
+            if (dispatch.pallas_eligible(A, p.shape, p.dtype)
+                    or dispatch.pallas_parity_eligible(
+                        A, p.shape, p.dtype)):
                 return p - compute_residual(lv, p, p, use_pallas=True)
         return A.apply(p)
 

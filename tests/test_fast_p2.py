@@ -240,7 +240,12 @@ def test_p2_mass_quad_matches_plain():
 def test_p2_fused_norm_matches_plain_check():
     """solver.fmg._fused_residual_norm takes the P2 parity branch and
     equals residual_norm(compute_residual(...)) — the convergence check
-    P2 tolerance solves and MG-CG run every cycle."""
+    P2 tolerance solves and MG-CG run every cycle.  Compared on a
+    POST-SWEEP iterate: the fused check skips the O(surface) shell
+    delta (include_shell=False), exact precisely because snap-jacobi
+    zeroes the boundary residual — the only iterates the check ever
+    sees."""
+    from multigrid_dolfinx_tpu.ops.smoothers import smooth
     from multigrid_dolfinx_tpu.solver.fmg import (
         _fused_residual_norm,
         residual_norm,
@@ -248,6 +253,7 @@ def test_p2_fused_norm_matches_plain_check():
     from multigrid_dolfinx_tpu.solver.vcycle import compute_residual
 
     cfg, hier, fl, v, f = _p2_pallas_fixture()
+    v = smooth(fl.sm, fl.A, v, f, 1, "jacobi", use_pallas=False)
     rn = _fused_residual_norm(hier, cfg.cycle, v, f)
     assert rn is not None                 # the parity branch engaged
     want = residual_norm(
@@ -355,21 +361,25 @@ def test_p2_cropped_vcycle_matches_full_on_overlap():
 
 
 def test_p2_cropped_rn_ref_is_exact_full_storage_value():
-    """P2 crop builds precompute ||b - A*0||_M on a transient FULL
-    layout through the same fused residual+quad path (WITH the shell
-    delta — r = b has nonzero Dirichlet rows there)."""
+    """EVERY 3D parity build precomputes ||b - A*0||_M on the full
+    layout WITH the shell delta (r = b has nonzero Dirichlet rows); the
+    per-cycle fused check deliberately skips the delta (valid only
+    post-sweep), so rn_ref must come from the build, and must agree
+    between storage layouts.  The plain full-layout mass_norm is the
+    independent oracle."""
+    from multigrid_dolfinx_tpu.ops.operators import mass_norm
     from multigrid_dolfinx_tpu.solver.fmg import _fused_residual_norm
 
     cfg = _crop_cfg_p2()
     h_full = build_p2_hierarchy(cfg)
     h_crop = build_p2_hierarchy(cfg, crop_storage=True)
-    assert h_full.rn_ref is None and h_crop.rn_ref is not None
-    ref_full = _fused_residual_norm(
-        h_full, cfg.cycle, jnp.zeros_like(h_full.finest.b),
-        h_full.finest.b)
-    assert ref_full is not None
-    np.testing.assert_allclose(float(h_crop.rn_ref), float(ref_full),
-                               rtol=1e-6)
+    assert h_full.rn_ref is not None and h_crop.rn_ref is not None
+    np.testing.assert_allclose(float(h_crop.rn_ref),
+                               float(h_full.rn_ref), rtol=1e-6)
+    oracle = float(mass_norm(h_full.M_fine, h_full.finest.b))
+    np.testing.assert_allclose(float(h_full.rn_ref), oracle, rtol=2e-5)
+    # the shell-skipping per-cycle check on the ZERO iterate is smaller
+    # (it cannot see the Dirichlet rows' r = b contribution)
     nc = _fused_residual_norm(
         h_crop, cfg.cycle, jnp.zeros_like(h_crop.finest.b),
         h_crop.finest.b)
