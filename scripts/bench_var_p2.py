@@ -36,7 +36,8 @@ N = int(sys.argv[1]) if len(sys.argv) > 1 else 64
 K = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 base, finest = factor_levels(N)
 cyc = CycleSpec(nu1=3, nu2=3, smoother="rbgs", restriction="pt",
-                tol=0.0, rtol=1e-8, max_cycles=60, use_pallas=True,
+                tol=0.0, rtol=float(os.environ.get("MG_VP2_RTOL", "1e-8")),
+                max_cycles=60, use_pallas=True,
                 track_error=False)
 cfg = SolverConfig(
     problem=ProblemSpec(ndim=3, degree=2, rhs_const=-12.0,
@@ -81,6 +82,8 @@ res = solve(hier, cyc, mode="tol")
 cycles = int(res.num_cycles)
 conv = bool(res.converged)
 solve_s = time.time() - t0
+final_rn = float(res.res_hist[cycles - 1]) if cycles else None
+rn_ref = float(res.res_hist[0]) if cycles else None
 
 print(json.dumps({
     "metric": "var_kappa_p2_galerkin_3d",
@@ -90,6 +93,8 @@ print(json.dumps({
     "ms_per_vcycle": round(ms_cycle, 2),
     "solve_cycles": cycles,
     "solve_converged": conv,
+    "solve_final_residual": final_rn,
+    "rtol": cyc.rtol,
     "solve_seconds_incl_compile": round(solve_s, 1),
     "platform": jax.devices()[0].platform,
 }), flush=True)
